@@ -1,0 +1,188 @@
+"""Static-shape budgeted KV cache: the TPU-native replacement for the
+reference's dynamic-shape `past_key_values` tuple surgery
+(reference easykv/easykv.py:56-112, truncate_kv_cache_*).
+
+Design (SURVEY.md §7):
+  * K/V live in fixed-size buffers `(L, B, H_kv, S, D)`; a slot is valid iff
+    its `pos` sidecar is >= 0.
+  * "Eviction" = set pos[slot] = -1 (no data movement). "Insertion" = scatter
+    the new tokens into the lowest-index invalid slots.
+  * Because token position ids are strictly increasing and never reused, the
+    reference's buffer-order semantics map to elementwise position tests:
+      - last-m buffer slots ("recent window", reference easykv.py:309-311)
+          <=> pos >= next_pos - m
+      - attention sink = first temp_length slots (reference easykv.py:463)
+          <=> pos < sink_length
+      - oldest non-sink (recency, reference easykv.py:492)
+          <=> masked argmin of pos
+  * Score sidecars (cumulative attention mass, squared mass, observation
+    counter — reference easykv.py:242-247) are per-(layer, head, slot) and are
+    reset at insertion time, which is equivalent to the reference's
+    compact-and-append-zeros (reference easykv.py:318, 468).
+
+Per-(layer, head) eviction independence (reference truncate_kv_cache_silo,
+easykv.py:56-68) is just a batched gather/scatter here — every head owns its
+own slot<->token mapping via its own `pos` row.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(1e9)
+INF = jnp.float32(3e38)
+
+
+class KVCache(NamedTuple):
+    """Stacked over layers; scanned over axis 0 by the model.
+
+    k, v:      (L, B, H_kv, S, D)   compute dtype
+    pos:       (L, B, H_kv, S) int32   original token position; -1 = invalid
+    score:     (L, B, H_kv, S) f32     cumulative attention mass
+    score_sq:  (L, B, H_kv, S) f32     cumulative squared attention mass
+    counter:   (L, B, H_kv, S) f32     per-slot observation counter
+    """
+
+    k: jax.Array
+    v: jax.Array
+    pos: jax.Array
+    score: jax.Array
+    score_sq: jax.Array
+    counter: jax.Array
+
+    @property
+    def num_slots(self) -> int:
+        return self.k.shape[-2]
+
+    def layer_count(self) -> int:
+        return self.k.shape[0]
+
+
+class LayerCache(NamedTuple):
+    """One layer's slice of a KVCache, as carried through the layer scan."""
+
+    k: jax.Array          # (B, H, S, D)
+    v: jax.Array          # (B, H, S, D)
+    pos: jax.Array        # (B, H, S)
+    score: jax.Array      # (B, H, S)
+    score_sq: jax.Array   # (B, H, S)
+    counter: jax.Array    # (B, H, S)
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.pos >= 0
+
+    def length(self) -> jax.Array:
+        """(B,) number of valid slots (identical across heads by construction;
+        head 0 is representative)."""
+        return jnp.sum(self.valid[:, 0, :].astype(jnp.int32), axis=-1)
+
+
+def init_cache(
+    num_layers: int,
+    batch: int,
+    num_kv_heads: int,
+    num_slots: int,
+    head_dim: int,
+    dtype=jnp.bfloat16,
+) -> KVCache:
+    shape = (num_layers, batch, num_kv_heads, num_slots)
+    return KVCache(
+        k=jnp.zeros(shape + (head_dim,), dtype=dtype),
+        v=jnp.zeros(shape + (head_dim,), dtype=dtype),
+        pos=jnp.full(shape, -1, dtype=jnp.int32),
+        score=jnp.zeros(shape, dtype=jnp.float32),
+        score_sq=jnp.zeros(shape, dtype=jnp.float32),
+        counter=jnp.zeros(shape, dtype=jnp.float32),
+    )
+
+
+def free_slot_ids(pos: jax.Array, count: int) -> jax.Array:
+    """Per (B, H): indices of the `count` lowest-index invalid slots.
+
+    pos: (B, H, S) -> (B, H, count) int32.
+
+    Replaces the reference's implicit "append at the end of the compacted
+    buffer" (reference easykv.py:66-67): after an eviction invalidates k slots,
+    the next insertion fills exactly those slots.
+    """
+    S = pos.shape[-1]
+    slot_idx = jax.lax.broadcasted_iota(jnp.int32, pos.shape, dimension=pos.ndim - 1)
+    # Invalid slots get a large positive key, minus the slot index so that
+    # lower indices sort first; valid slots sort last.
+    sort_key = jnp.where(pos < 0, 2 * S - slot_idx, 0)
+    _, ids = jax.lax.top_k(sort_key, count)
+    return ids.astype(jnp.int32)
+
+
+def write_tokens(
+    cache: LayerCache,
+    new_k: jax.Array,        # (B, H, C, D) post-RoPE (pre-RoPE in streaming mode)
+    new_v: jax.Array,        # (B, H, C, D)
+    new_pos: jax.Array,      # (B, C) int32 position ids of the incoming tokens
+    counter_init: jax.Array,  # (B, C) f32 initial observation counter
+    token_valid: Optional[jax.Array] = None,  # (B, C) bool; False = padding
+) -> LayerCache:
+    """Insert C tokens into the lowest-index free slots of each (B, H).
+
+    Padding tokens (token_valid False) are written with pos = -1, i.e. the
+    slot stays invalid and the garbage K/V is masked out of attention.
+    Score sidecars of the written slots are reset (the reference appends
+    zero-initialized score columns after compaction, easykv.py:318, 468-469).
+    """
+    B, H, C, _ = new_k.shape
+    ids = free_slot_ids(cache.pos, C)  # (B, H, C)
+    b_ix = jnp.arange(B)[:, None, None]
+    h_ix = jnp.arange(H)[None, :, None]
+
+    if token_valid is None:
+        pos_write = new_pos
+        cnt_write = counter_init
+    else:
+        pos_write = jnp.where(token_valid, new_pos, -1)
+        cnt_write = jnp.where(token_valid, counter_init, 0.0)
+    pos_write = jnp.broadcast_to(pos_write[:, None, :], (B, H, C))
+    cnt_write = jnp.broadcast_to(cnt_write[:, None, :], (B, H, C))
+
+    return LayerCache(
+        k=cache.k.at[b_ix, h_ix, ids].set(new_k),
+        v=cache.v.at[b_ix, h_ix, ids].set(new_v),
+        pos=cache.pos.at[b_ix, h_ix, ids].set(pos_write),
+        score=cache.score.at[b_ix, h_ix, ids].set(0.0),
+        score_sq=cache.score_sq.at[b_ix, h_ix, ids].set(0.0),
+        counter=cache.counter.at[b_ix, h_ix, ids].set(cnt_write),
+    )
+
+
+def evict_slots(
+    cache: LayerCache, evict_ids: jax.Array, gate: Optional[jax.Array] = None
+) -> LayerCache:
+    """Invalidate per-(B, H) slots. evict_ids: (B, H, k) int32; gate: (B,)
+    bool — rows with gate False are untouched (e.g. finished batch rows).
+
+    Equivalent to the reference's per-head gather-compaction
+    (truncate_kv_cache_silo / _liso, reference easykv.py:56-82) — the K/V data
+    stays in place, only the validity changes, and the freed slots are reused
+    by the next write_tokens.
+    """
+    B, H, _ = evict_ids.shape
+    b_ix = jnp.arange(B)[:, None, None]
+    h_ix = jnp.arange(H)[None, :, None]
+    if gate is None:
+        new_vals = jnp.full(evict_ids.shape, -1, cache.pos.dtype)
+    else:
+        current = jnp.take_along_axis(cache.pos, evict_ids, axis=-1)
+        new_vals = jnp.where(gate[:, None, None], -1, current)
+    return cache._replace(pos=cache.pos.at[b_ix, h_ix, evict_ids].set(new_vals))
+
+
+def stack_layer(cache_layers: LayerCache) -> KVCache:
+    """LayerCache whose arrays already carry a leading L axis -> KVCache."""
+    return KVCache(*cache_layers)
+
+
+def layer_slice(cache: KVCache) -> LayerCache:
+    """KVCache leaves -> LayerCache leaves (for use as lax.scan xs)."""
+    return LayerCache(*cache)

@@ -1,0 +1,787 @@
+"""Generation engine: budget-constrained KV-cache generation in five modes —
+decoding / encoding / auto / encoding_decoding / ppl — mirroring the
+reference's `generate` (reference easykv/easykv.py:199-901) as fully-jitted
+device loops.
+
+Structural differences from the reference (all deliberate, SURVEY.md §7):
+  * The decode hot loop is a `lax.while_loop` with on-device sampling and
+    EOS detection — the reference syncs the host ~6x per token
+    (easykv.py:259-283).
+  * The strided encoding loop is a `lax.fori_loop` over fixed-size chunks —
+    one compilation, no per-chunk dispatch (easykv.py:426-433).
+  * Budget bookkeeping (idx / r_idx stride alignment, easykv.py:385-392)
+    happens in Python at trace time; everything shape-affecting is static
+    and cached on `EngineStatics`.
+
+Budget semantics parity (SURVEY.md §2.4):
+  * decoding: the budget covers only *generated* tokens; prompt KV is never
+    evicted (easykv.py:290, 311); eviction cadence is 1 slot/(layer,head)/step
+    once generated > budget (easykv.py:302-303); decode-phase recent_ratio is
+    the hard-coded 0.3 (easykv.py:308, 709).
+  * encoding: float budget -> int(length*budget)+stride; idx walks down so
+    (length-idx)%stride==0; r_idx so (idx-r_idx)%stride==0 (easykv.py:385-392);
+    the cache oscillates in [idx, idx+stride].
+  * encoding_decoding: int budget (+stride unless >= length), tiny prefix
+    (r_idx ascending scan, easykv.py:551-552), per-step eviction continues
+    through decode including prompt slots (easykv.py:670-748).
+  * ppl: teacher-forced CE over the tokens fed after r_idx, predicted from
+    the evicted cache (easykv.py:816-901).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import time
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import KVCache, init_cache
+from ..config import GenerationConfig, ModelConfig, canonical_policy
+from ..models import llama
+from ..models.llama import StepCtx
+from ..policies import (
+    PHASE_DECODE,
+    PHASE_ENCDEC_DECODE,
+    PHASE_ENCODE,
+    PolicySpec,
+)
+from ..sampling import logits_adapter, sample_token
+
+PREFILL_CHUNK = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def stride_align(length: int, budget: int, stride: int) -> Tuple[int, int]:
+    """Reference easykv.py:389-392: idx = largest <= budget with
+    (length-idx)%stride==0; r_idx = largest < idx with (idx-r_idx)%stride==0."""
+    idx = 0
+    for i in range(budget, -1, -1):
+        if (length - i) % stride == 0:
+            idx = i
+            break
+    r_idx = 0
+    for r in range(idx - 1, -1, -1):
+        if (idx - r) % stride == 0:
+            r_idx = r
+            break
+    return idx, r_idx
+
+
+def stride_align_encdec(length: int, budget: int, stride: int) -> Tuple[int, int]:
+    """Reference easykv.py:549-552: same idx; r_idx = smallest >= 1 with
+    (idx-r_idx)%stride==0 (ascending scan — tiny prefix)."""
+    idx = 0
+    for i in range(budget, -1, -1):
+        if (length - i) % stride == 0:
+            idx = i
+            break
+    r_idx = idx - 1 if idx >= 1 else 0
+    for r in range(1, idx):
+        if (idx - r) % stride == 0:
+            r_idx = r
+            break
+    return idx, r_idx
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineStatics:
+    """Everything shape- or graph-affecting; the jit cache key."""
+
+    cfg: ModelConfig
+    mode: str
+    policy: str
+    stride: int
+    length: int              # exact prompt length (padded for decoding mode)
+    budget: int              # resolved integer budget (post reference shifts)
+    idx: int = 0
+    r_idx: int = 0
+    max_new_tokens: int = 0
+    eos_token_ids: Tuple[int, ...] = ()
+    temp_length: int = 4
+    recent_window: int = 0       # encode-phase recent window
+    recent_window_dec: int = 0   # decode-phase recent window (0.3 quirk)
+    keep_attention: bool = False
+    streaming: bool = False
+    dtype: str = "float32"
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def encode_spec(self) -> PolicySpec:
+        return PolicySpec(
+            policy=self.policy,
+            phase=PHASE_ENCODE,
+            k=self.stride,
+            sink_length=self.temp_length,
+            recent_window=self.recent_window,
+            # reference easykv.py:474: k = max(budget - recent_window - sink, stride)
+            feasible_k=min(
+                max(self.budget - self.recent_window - self.temp_length, self.stride),
+                self.idx + self.stride,
+            ),
+        )
+
+    def decode_spec(self) -> Optional[PolicySpec]:
+        if self.policy == "full":
+            return None
+        return PolicySpec(
+            policy=self.policy,
+            phase=PHASE_DECODE,
+            k=1,
+            sink_length=self.temp_length,
+            recent_window=self.recent_window_dec,
+            # reference easykv.py:322: k = budget - recent_window
+            feasible_k=max(self.budget - self.recent_window_dec, 1),
+            protect_prompt=True,
+        )
+
+    def encdec_decode_spec(self) -> PolicySpec:
+        return PolicySpec(
+            policy=self.policy,
+            phase=PHASE_ENCDEC_DECODE,
+            k=1,
+            sink_length=self.temp_length,
+            recent_window=self.recent_window_dec,
+            # reference easykv.py:722: k = budget - recent_window; clamp to the
+            # number of valid slots in the carried-over encode buffer (the
+            # reference buffer has exactly idx+1 real columns at this point).
+            feasible_k=max(min(self.budget - self.recent_window_dec, self.idx), 1),
+        )
+
+
+def _encode_counter_init(pos: jax.Array, idx: int, stride: int, keep: bool) -> jax.Array:
+    """Per-token initial observation counter for encoding-family modes.
+
+    Closed form of the reference's buffer initializers and post-eviction
+    tails (reference easykv.py:412-418, 469, 483):
+      pos >= idx:  -((pos - idx) % stride)
+      pos <  idx:  idx - pos if keep_attention else 0
+    """
+    tail = -((pos - idx) % stride).astype(jnp.float32)
+    head = (idx - pos).astype(jnp.float32) if keep else jnp.zeros_like(pos, jnp.float32)
+    return jnp.where(pos >= idx, tail, head)
+
+
+def _isin_eos(token: jax.Array, eos_ids: Tuple[int, ...]) -> jax.Array:
+    if not eos_ids:
+        return jnp.zeros(token.shape, bool)
+    eos = jnp.asarray(eos_ids, jnp.int32)
+    return jnp.any(token[..., None] == eos, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Phase A: prefix prefill in fixed chunks (optionally with the keep_attention
+# score bootstrap, reference h2o_head_score easykv.py:173-186).
+# ---------------------------------------------------------------------------
+
+def _prefill(
+    st: EngineStatics,
+    params,
+    cache: KVCache,
+    ids: jax.Array,         # (B, A) prefix tokens (A static, may be 0)
+    prefix_len: jax.Array,  # (B,) true prefix length (<= A)
+    spec: Optional[PolicySpec],
+    counter_kind: str,      # 'zero' | 'encode'
+) -> Tuple[KVCache, jax.Array]:
+    """Returns (cache, last_logits (B, V)) after consuming the prefix."""
+    B, A = ids.shape
+    if A == 0:
+        return cache, jnp.zeros((B, st.cfg.vocab_size), jnp.float32)
+    PC = min(PREFILL_CHUNK, _round_up(A, 8))
+    A_pad = _round_up(A, PC)
+    ids = jnp.pad(ids, ((0, 0), (0, A_pad - A)))
+    n_chunks = A_pad // PC
+
+    def body(i, carry):
+        cache, last_logits = carry
+        start = i * PC
+        chunk = jax.lax.dynamic_slice_in_dim(ids, start, PC, axis=1)
+        pos = start + jnp.arange(PC, dtype=jnp.int32)[None, :]
+        tok_valid = pos < prefix_len[:, None]
+        q_pos = jnp.where(tok_valid, pos, -1)
+        if counter_kind == "encode":
+            cinit = _encode_counter_init(pos, st.idx, st.stride, st.keep_attention)
+        else:
+            cinit = jnp.zeros_like(pos, jnp.float32)
+        ctx = StepCtx(
+            q_pos=q_pos,
+            token_valid=tok_valid,
+            counter_init=jnp.broadcast_to(cinit, (B, PC)).astype(jnp.float32),
+            next_pos=jnp.minimum(start + PC, prefix_len),
+            prompt_len=prefix_len,
+            evict_gate=jnp.zeros((B,), bool),
+            update_gate=jnp.ones((), bool),
+            rand_rank=jnp.zeros((B,), jnp.int32),
+        )
+        logits, cache = llama.forward(
+            params, st.cfg, cache, chunk, ctx, spec,
+            bootstrap=True, streaming=st.streaming,
+        )
+        # Track the logit row of the final real token (may be mid-chunk).
+        is_last = (q_pos == prefix_len[:, None] - 1)[..., None]
+        last_logits = jnp.where(
+            jnp.any(is_last, axis=1), jnp.sum(logits * is_last, axis=1), last_logits
+        )
+        return cache, last_logits
+
+    init = (cache, jnp.zeros((B, st.cfg.vocab_size), jnp.float32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+# ---------------------------------------------------------------------------
+# Phase B: strided encoding with per-chunk eviction (reference easykv.py:426-499)
+# ---------------------------------------------------------------------------
+
+def _strided_encode(
+    st: EngineStatics,
+    params,
+    cache: KVCache,
+    input_ids: jax.Array,   # (B, length) full prompt
+    spec: PolicySpec,
+    seed: jax.Array,
+    collect_ppl: bool,
+    last_logits0: jax.Array = None,  # (B, V) from the prefix prefill
+):
+    """Consume [r_idx, length) in chunks of `stride`.
+
+    Returns (cache, last_logits (B,V), loss_sum (B,), kv_len (B,))."""
+    B = input_ids.shape[0]
+    stride, idx = st.stride, st.idx
+    n_chunks = (st.length - st.r_idx) // stride
+    S_enc = idx + stride  # logical encode-phase buffer (reference score width)
+    evicting = spec.policy != "full"
+
+    def body(i, carry):
+        cache, last_logits, loss_sum, kv_len = carry
+        start = st.r_idx + i * stride
+        chunk = jax.lax.dynamic_slice_in_dim(input_ids, start, stride, axis=1)
+        pos = start + jnp.arange(stride, dtype=jnp.int32)[None, :]
+        kv_after = kv_len + stride
+        trigger = kv_after > idx  # (B,) reference easykv.py:459
+        update = jnp.asarray(st.keep_attention) | jnp.any(trigger)
+        # Random policy: uniform span start over ranks [0, S_enc - stride)
+        # (reference easykv.py:494-497).
+        u = jax.random.uniform(jax.random.fold_in(seed, i), (B,))
+        rand_rank = (u * (S_enc - stride)).astype(jnp.int32)
+        ctx = StepCtx(
+            q_pos=pos,
+            token_valid=jnp.ones((B, stride), bool),
+            counter_init=jnp.broadcast_to(
+                _encode_counter_init(pos, idx, stride, st.keep_attention), (B, stride)
+            ),
+            next_pos=jnp.full((B,), start + stride, jnp.int32),
+            prompt_len=jnp.zeros((B,), jnp.int32),
+            evict_gate=trigger if evicting else jnp.zeros((B,), bool),
+            update_gate=update,
+            rand_rank=rand_rank,
+        )
+        logits, cache = llama.forward(
+            params, st.cfg, cache, chunk, ctx, spec, streaming=st.streaming
+        )
+        kv_len = kv_after - jnp.where(ctx.evict_gate, stride, 0)
+
+        if collect_ppl:
+            # CE of chunk token j from row j-1; token 0 from the previous
+            # chunk's last row (reference easykv.py:896-899). The very first
+            # fed token has no predictor (all_ids[1:]).
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = chunk[:, 1:]
+            ce_intra = -jnp.take_along_axis(logp[:, :-1, :], tgt[..., None], axis=-1)
+            loss = jnp.sum(ce_intra[..., 0], axis=-1)
+            prev_logp = jax.nn.log_softmax(last_logits, axis=-1)
+            ce_cross = -jnp.take_along_axis(prev_logp, chunk[:, :1], axis=-1)[:, 0]
+            loss = loss + jnp.where(i > 0, ce_cross, 0.0)
+            loss_sum = loss_sum + loss
+        return cache, logits[:, -1, :], loss_sum, kv_len
+
+    if last_logits0 is None:
+        last_logits0 = jnp.zeros((B, st.cfg.vocab_size), jnp.float32)
+    init = (
+        cache,
+        last_logits0,
+        jnp.zeros((B,), jnp.float32),
+        jnp.full((B,), st.r_idx, jnp.int32),
+    )
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+# ---------------------------------------------------------------------------
+# Decode loop (reference easykv.py:257-363 / :508-526 / :670-748)
+# ---------------------------------------------------------------------------
+
+class DecodeResult(NamedTuple):
+    out_ids: jax.Array    # (B, max_new_tokens) int32, -1 past the end
+    n_tokens: jax.Array   # (B,) tokens emitted (including EOS)
+    kv_len: jax.Array     # (B,) final valid cache slots
+
+
+def _decode_loop(
+    st: EngineStatics,
+    params,
+    cache: KVCache,
+    first_probs: jax.Array,   # (B, V) filtered distribution for token 1
+    start_pos: jax.Array,     # (B,) position of the first generated token
+    prompt_len: jax.Array,    # (B,)
+    kv_len0: jax.Array,       # (B,)
+    spec: Optional[PolicySpec],
+    seed: jax.Array,
+    temperature: jax.Array,
+    top_p: jax.Array,
+    evict_mode: str,          # 'none' | 'budget' | 'always'
+) -> DecodeResult:
+    B = first_probs.shape[0]
+    M = st.max_new_tokens
+
+    def cond(carry):
+        _, _, _, n, done, _, _, _ = carry
+        return (n < M) & ~jnp.all(done)
+
+    def body(carry):
+        cache, probs, key, n, done, out, g, kv_len = carry
+        key, sub = jax.random.split(key)
+        token = sample_token(sub, probs)                       # (B,)
+        out = out.at[:, n].set(jnp.where(done, -1, token))
+        newly_done = done | _isin_eos(token, st.eos_token_ids)
+        n = n + 1
+        live = ~newly_done
+
+        tok_pos = start_pos + g                                # (B,)
+        if evict_mode == "budget":
+            gate_b = live & (g + 1 > st.budget)                # easykv.py:302-303
+            cinit = jnp.maximum(st.budget - g, 0).astype(jnp.float32)
+        elif evict_mode == "always":
+            gate_b = live                                      # easykv.py:670-748
+            cinit = jnp.zeros((B,), jnp.float32)
+        else:
+            gate_b = jnp.zeros((B,), bool)
+            cinit = jnp.zeros((B,), jnp.float32)
+
+        u = jax.random.uniform(jax.random.fold_in(seed, n), (B,))
+        if spec is not None and spec.policy == "random":
+            if spec.phase == PHASE_DECODE:
+                # uniform over retained generated tokens (easykv.py:353-362)
+                n_gen = jnp.minimum(g + 1, st.budget + 1)
+                rand_rank = (u * n_gen.astype(jnp.float32)).astype(jnp.int32)
+            else:  # encdec decode: uniform over non-sink valid slots
+                n_cand = jnp.maximum(kv_len + 1 - spec.sink_length, 1)
+                rand_rank = (u * n_cand.astype(jnp.float32)).astype(jnp.int32)
+        else:
+            rand_rank = jnp.zeros((B,), jnp.int32)
+
+        ctx = StepCtx(
+            q_pos=jnp.where(live, tok_pos, -1)[:, None],
+            token_valid=live[:, None],
+            counter_init=cinit[:, None],
+            next_pos=tok_pos + 1,
+            prompt_len=prompt_len,
+            evict_gate=gate_b,
+            update_gate=jnp.any(live),
+            rand_rank=rand_rank,
+        )
+        logits, cache = llama.forward(
+            params, st.cfg, cache, token[:, None], ctx, spec, streaming=st.streaming
+        )
+        new_filtered, _ = logits_adapter(logits[:, -1, :], temperature, top_p)
+        probs = jnp.where(newly_done[:, None], probs, new_filtered)
+        g = g + live.astype(jnp.int32)
+        k_evict = spec.k if spec is not None else 0
+        kv_len = kv_len + live.astype(jnp.int32) - jnp.where(gate_b, k_evict, 0)
+        return cache, probs, key, n, newly_done, out, g, kv_len
+
+    out0 = jnp.full((B, M), -1, jnp.int32)
+    key0 = jax.random.fold_in(seed, 7919)
+    carry = (
+        cache, first_probs, key0, jnp.int32(0), jnp.zeros((B,), bool),
+        out0, jnp.zeros((B,), jnp.int32), kv_len0,
+    )
+    cache, probs, key, n, done, out, g, kv_len = jax.lax.while_loop(cond, body, carry)
+    emitted = jnp.sum((out >= 0).astype(jnp.int32), axis=-1)
+    return DecodeResult(out, emitted, kv_len)
+
+
+# ---------------------------------------------------------------------------
+# Mode drivers (jitted; EngineStatics is the static arg)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_decoding(st: EngineStatics, params, ids_pad, prompt_len, temperature, top_p, seed):
+    """kv_mode='decoding' (reference easykv.py:228-366)."""
+    B = ids_pad.shape[0]
+    gen_slots = st.max_new_tokens if st.policy == "full" else st.budget + 1
+    S = st.length + gen_slots
+    cache = init_cache(
+        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
+        st.cfg.head_dim, dtype=st.jdtype,
+    )
+    cache, last_logits = _prefill(st, params, cache, ids_pad, prompt_len, None, "zero")
+    first_probs, _ = logits_adapter(last_logits, temperature, top_p)
+    spec = st.decode_spec()
+    res = _decode_loop(
+        st, params, cache, first_probs, prompt_len, prompt_len, prompt_len,
+        spec, seed, temperature, top_p,
+        "none" if st.policy == "full" else "budget",
+    )
+    return res
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_encoding(st: EngineStatics, params, input_ids, temperature, top_p, seed):
+    """kv_mode='encoding' (reference easykv.py:367-529): strided prefill
+    eviction, then plain decode without eviction."""
+    B = input_ids.shape[0]
+    S = st.idx + st.stride + st.max_new_tokens
+    cache = init_cache(
+        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
+        st.cfg.head_dim, dtype=st.jdtype,
+    )
+    spec = st.encode_spec()
+    prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
+    boot = spec if st.keep_attention else None
+    cache, last_logits = _prefill(
+        st, params, cache, input_ids[:, : st.r_idx], prefix_len, boot, "encode"
+    )
+    cache, last_logits, _, kv_len = _strided_encode(
+        st, params, cache, input_ids, spec, seed, collect_ppl=False,
+        last_logits0=last_logits,
+    )
+    first_probs, _ = logits_adapter(last_logits, temperature, top_p)
+    length = jnp.full((B,), st.length, jnp.int32)
+    res = _decode_loop(
+        st, params, cache, first_probs, length, length, kv_len,
+        None, seed, temperature, top_p, "none",
+    )
+    return res, kv_len
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_encdec(st: EngineStatics, params, input_ids, temperature, top_p, seed):
+    """kv_mode='encoding_decoding' (reference easykv.py:530-753): strided
+    prefill eviction, then per-step eviction through decode."""
+    B = input_ids.shape[0]
+    S = st.idx + st.stride
+    cache = init_cache(
+        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
+        st.cfg.head_dim, dtype=st.jdtype,
+    )
+    enc_spec = st.encode_spec()
+    prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
+    boot = enc_spec if st.keep_attention else None
+    cache, last_logits = _prefill(
+        st, params, cache, input_ids[:, : st.r_idx], prefix_len, boot, "encode"
+    )
+    cache, last_logits, _, kv_len = _strided_encode(
+        st, params, cache, input_ids, enc_spec, seed, collect_ppl=False,
+        last_logits0=last_logits,
+    )
+    first_probs, _ = logits_adapter(last_logits, temperature, top_p)
+    length = jnp.full((B,), st.length, jnp.int32)
+    res = _decode_loop(
+        st, params, cache, first_probs, length, length, kv_len,
+        st.encdec_decode_spec(), seed, temperature, top_p, "always",
+    )
+    return res
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_ppl(st: EngineStatics, params, input_ids, seed):
+    """kv_mode='ppl', budgeted path (reference easykv.py:766-901)."""
+    B = input_ids.shape[0]
+    S = st.idx + st.stride
+    cache = init_cache(
+        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
+        st.cfg.head_dim, dtype=st.jdtype,
+    )
+    spec = st.encode_spec()
+    prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
+    boot = spec if st.keep_attention else None
+    cache, _ = _prefill(
+        st, params, cache, input_ids[:, : st.r_idx], prefix_len, boot, "encode"
+    )
+    cache, _, loss_sum, kv_len = _strided_encode(
+        st, params, cache, input_ids, spec, seed, collect_ppl=True
+    )
+    count = st.length - st.r_idx - 1
+    return loss_sum / count, kv_len
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _run_ppl_full(st: EngineStatics, params, input_ids):
+    """kv_mode='ppl', full-cache path (reference easykv.py:759-765):
+    chunked teacher forcing over the whole document."""
+    B, L = input_ids.shape
+    PC = min(PREFILL_CHUNK, _round_up(L, 8))
+    L_pad = _round_up(L, PC)
+    ids = jnp.pad(input_ids, ((0, 0), (0, L_pad - L)))
+    cache = init_cache(
+        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, L_pad,
+        st.cfg.head_dim, dtype=st.jdtype,
+    )
+    true_len = jnp.full((B,), L, jnp.int32)
+
+    def body(i, carry):
+        cache, last_logits, loss_sum = carry
+        start = i * PC
+        chunk = jax.lax.dynamic_slice_in_dim(ids, start, PC, axis=1)
+        pos = start + jnp.arange(PC, dtype=jnp.int32)[None, :]
+        tok_valid = pos < true_len[:, None]
+        ctx = StepCtx(
+            q_pos=jnp.where(tok_valid, pos, -1),
+            token_valid=tok_valid,
+            counter_init=jnp.zeros((B, PC), jnp.float32),
+            next_pos=jnp.minimum(start + PC, true_len),
+            prompt_len=true_len,
+            evict_gate=jnp.zeros((B,), bool),
+            update_gate=jnp.zeros((), bool),
+            rand_rank=jnp.zeros((B,), jnp.int32),
+        )
+        logits, cache = llama.forward(
+            params, st.cfg, cache, chunk, ctx, None, streaming=st.streaming
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce_intra = -jnp.take_along_axis(
+            logp[:, :-1, :], chunk[:, 1:, None], axis=-1
+        )[..., 0]
+        mask_intra = tok_valid[:, 1:].astype(jnp.float32)
+        loss = jnp.sum(ce_intra * mask_intra, axis=-1)
+        prev_logp = jax.nn.log_softmax(last_logits, axis=-1)
+        ce_cross = -jnp.take_along_axis(prev_logp, chunk[:, :1], axis=-1)[:, 0]
+        loss = loss + jnp.where((i > 0) & tok_valid[:, 0], ce_cross, 0.0)
+        loss_sum = loss_sum + loss
+        # carry the last *valid* row's logits
+        is_last_of_chunk = tok_valid & (
+            (pos == true_len[:, None] - 1) | (pos == start + PC - 1)
+        )
+        any_valid = jnp.any(tok_valid, axis=1, keepdims=True)
+        idx_last = jnp.sum(tok_valid.astype(jnp.int32), axis=1) - 1
+        row = jnp.take_along_axis(
+            logits, jnp.maximum(idx_last, 0)[:, None, None], axis=1
+        )[:, 0, :]
+        last_logits = jnp.where(any_valid, row, last_logits)
+        return cache, last_logits, loss_sum
+
+    init = (cache, jnp.zeros((B, st.cfg.vocab_size), jnp.float32),
+            jnp.zeros((B,), jnp.float32))
+    _, _, loss_sum = jax.lax.fori_loop(0, L_pad // PC, body, init)
+    return loss_sum / (L - 1)
+
+
+# ---------------------------------------------------------------------------
+# Public API (reference enable_fixed_kv, easykv.py:903-908)
+# ---------------------------------------------------------------------------
+
+class CausalLM:
+    """Model wrapper binding config + params (+ optional tokenizer/mesh)."""
+
+    def __init__(self, cfg: ModelConfig, params, tokenizer=None, dtype="float32"):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = str(jnp.dtype(dtype))
+
+    # bound by enable_fixed_kv:
+    easykv_generate = None
+    easykv_ppl = None
+
+
+def enable_fixed_kv(model: CausalLM, tokenizer, mode: str, stride: int = 1,
+                    verbose: bool = False) -> CausalLM:
+    """Bind easykv_generate / easykv_ppl onto the model
+    (reference easykv.py:903-908)."""
+    model.tokenizer = tokenizer
+    model.easykv_generate = functools.partial(
+        generate, model, kv_mode=mode, stride=stride, report_decoding_latency=verbose
+    )
+    model.easykv_ppl = functools.partial(generate, model, kv_mode="ppl", stride=stride)
+    print(f"Fixed KV Cache for {mode} enabled")
+    return model
+
+
+def set_dynamicntk_rope_length(model: CausalLM, max_length: int) -> None:
+    """Pin the DynamicNTK RoPE base to `max_length`
+    (reference utils.py:53-57)."""
+    model.cfg = dataclasses.replace(model.cfg, rope_ntk_length=max_length)
+
+
+def _as_batch(input_ids) -> np.ndarray:
+    arr = np.asarray(input_ids)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    return arr.astype(np.int32)
+
+
+def generate(
+    model: CausalLM,
+    input_ids,
+    generation_config,
+    kv_mode: str = "encoding",
+    stride: int = 1,
+    report_decoding_latency: bool = False,
+):
+    """Reference-parity entry point (reference easykv.py:199-901).
+
+    Returns the decoded string (if a tokenizer is attached) or the list of
+    generated token ids; kv_mode='ppl' returns the perplexity float.
+    """
+    if isinstance(generation_config, GenerationConfig):
+        gc = generation_config
+    else:
+        gc = GenerationConfig.from_dict(dict(generation_config))
+    gc = gc.with_policy()
+    ids = _as_batch(input_ids)
+    B, length = ids.shape
+    eos = gc.eos_token_ids
+    if not eos and model.tokenizer is not None:
+        tok_eos = getattr(model.tokenizer, "eos_token_id", None)
+        if tok_eos is not None:
+            eos = (int(tok_eos),)
+
+    budget = gc.budget
+    mode = kv_mode
+    if mode == "auto":
+        # reference easykv.py:220-227
+        assert isinstance(budget, int), "auto mode requires an integer budget"
+        if budget > length:
+            mode = "decoding"
+            budget = budget - length
+        else:
+            mode = "encoding_decoding"
+
+    base = dict(
+        cfg=model.cfg, policy=gc.kv_policy, stride=stride,
+        eos_token_ids=tuple(eos), temp_length=gc.temp_length,
+        keep_attention=gc.keep_attention, streaming=gc.streaming,
+        dtype=model.dtype, max_new_tokens=gc.max_new_tokens,
+    )
+    seed = jax.random.PRNGKey(gc.seed)
+    temp = jnp.float32(gc.temperature)
+    top_p = jnp.float32(gc.top_p)
+
+    if mode == "decoding":
+        assert isinstance(budget, int) or gc.kv_policy == "full", (
+            "decoding mode requires an integer budget"
+        )
+        b = int(budget)
+        P_pad = _round_up(length, 64)
+        st = EngineStatics(
+            mode="decoding", length=P_pad, budget=b, idx=0, r_idx=0,
+            recent_window_dec=int(b * 0.3),  # reference easykv.py:308 quirk
+            **base,
+        )
+        ids_pad = np.zeros((B, P_pad), np.int32)
+        ids_pad[:, :length] = ids
+        prompt_len = jnp.full((B,), length, jnp.int32)
+        t0 = time.time()
+        res = _run_decoding(st, model.params, jnp.asarray(ids_pad), prompt_len, temp, top_p, seed)
+        res = jax.tree.map(np.asarray, jax.device_get(res))
+        dt = time.time() - t0
+        retained = int(res.kv_len[0]) - length
+        n_out = int(res.n_tokens[0])
+        if n_out:
+            print(
+                f"KV cache budget ratio: {retained / n_out * 100:.2f}%"
+                f"({retained}/{n_out})"
+            )
+        if report_decoding_latency:
+            print(f"Per-step decoding latency: {dt / max(n_out, 1):.3f}")
+        return _finalize(model, res)
+
+    if mode in ("encoding", "ppl") and _is_full_budget(budget, length):
+        if mode == "ppl":
+            loss = _run_ppl_full(
+                EngineStatics(mode="ppl", length=length, budget=length, **base),
+                model.params, jnp.asarray(ids),
+            )
+            return float(np.exp(np.asarray(loss)[0]))
+        # full-cache encoding: no eviction at all (reference easykv.py:372-377)
+        st = EngineStatics(
+            mode="encoding", length=length, budget=length,
+            idx=length + stride, r_idx=length,
+            **{**base, "policy": "full"},
+        )
+        res, kv_len = _run_encoding(st, model.params, jnp.asarray(ids), temp, top_p, seed)
+        res = jax.tree.map(np.asarray, jax.device_get(res))
+        print(
+            f"KV cache budget ratio: {length / length * 100:.2f}%({length}/{length})"
+        )
+        return _finalize(model, res)
+
+    if mode in ("encoding", "ppl"):
+        # reference easykv.py:385-392 budget resolution
+        b = int(length * budget) + stride if isinstance(budget, float) else int(budget) + stride
+        idx, r_idx = stride_align(length, b, stride)
+        if (length - r_idx) % stride != 0:
+            raise ValueError(
+                f"length={length}, stride={stride}, budget={budget}: prefix "
+                f"remainder not stride-aligned (idx={idx}, r_idx={r_idx})"
+            )
+        st = EngineStatics(
+            mode=mode, length=length, budget=b, idx=idx, r_idx=r_idx,
+            recent_window=int(b * gc.recent_ratio),
+            recent_window_dec=int(b * 0.3),
+            **base,
+        )
+        if mode == "ppl":
+            loss, kv_len = _run_ppl(st, model.params, jnp.asarray(ids), seed)
+            kv = int(np.asarray(kv_len)[0])
+            print(f"KV cache budget ratio: {kv / length * 100:.2f}%({kv}/{length})")
+            return float(np.exp(np.asarray(loss)[0]))
+        t0 = time.time()
+        res, kv_len = _run_encoding(st, model.params, jnp.asarray(ids), temp, top_p, seed)
+        res = jax.tree.map(np.asarray, jax.device_get(res))
+        kv = int(np.asarray(kv_len)[0])
+        print(f"KV cache budget ratio: {kv / length * 100:.2f}%({kv}/{length})")
+        if report_decoding_latency:
+            n_out = int(res.n_tokens[0])
+            print(f"Per-step decoding latency: {(time.time()-t0) / max(n_out,1):.3f}")
+        return _finalize(model, res)
+
+    if mode == "encoding_decoding":
+        assert isinstance(budget, int) and budget <= length, (
+            "encoding_decoding requires int budget <= prompt length"
+        )
+        white = ["random", "recency", "tova", "roco"]
+        assert gc.kv_policy in white, (
+            f"mode must be within {white}, get {gc.kv_policy} instead"
+        )  # reference easykv.py:536-537
+        b = budget + stride
+        if b >= length:
+            b -= stride
+        idx, r_idx = stride_align_encdec(length, b, stride)
+        st = EngineStatics(
+            mode=mode, length=length, budget=b, idx=idx, r_idx=r_idx,
+            recent_window=int(b * gc.recent_ratio),
+            recent_window_dec=int(b * 0.3),
+            **base,
+        )
+        res = _run_encdec(st, model.params, jnp.asarray(ids), temp, top_p, seed)
+        res = jax.tree.map(np.asarray, jax.device_get(res))
+        kv = int(res.kv_len[0])
+        n_out = int(res.n_tokens[0])
+        print(
+            f"KV Cache Budget ratio {kv / (length + n_out) * 100:.2f}%"
+            f"[{kv}/({length}+{n_out})]"
+        )
+        return _finalize(model, res)
+
+    raise ValueError(f"unknown kv_mode {kv_mode!r}")
+
+
+def _is_full_budget(budget, length) -> bool:
+    return (isinstance(budget, float) and budget >= 1.0) or (
+        isinstance(budget, int) and budget >= length
+    )
+
+
+def _finalize(model: CausalLM, res: DecodeResult):
+    ids = [int(t) for t in np.asarray(res.out_ids)[0] if t >= 0]
+    if model.tokenizer is not None:
+        return model.tokenizer.decode(ids, skip_special_tokens=True).strip()
+    return ids

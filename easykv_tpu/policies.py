@@ -1,0 +1,230 @@
+"""Eviction policies over the static KV ring buffer.
+
+Reimplements the reference's five policies — random / recency / h2o_head /
+tova / roco (reference easykv/easykv.py:288-362 decode, :443-499 encode,
+:694-747 encoding_decoding decode) — as vectorized on-device selection over
+per-(layer, kv-head, slot) sidecars. The reference's buffer-order semantics
+translate to position tests (see cache.py docstring):
+
+  * recent-window protection  "scores[:, :, :-w]"  -> pos <  next_pos - w
+  * roco std guard            "std[:, :, -10:]=1e9" -> pos >= next_pos - 10
+  * sink protection           "scores[:, :, :4]"    -> pos <  sink_length
+  * decode prompt protection  (easykv.py:290,311)   -> pos >= prompt_len
+
+Known reference quirks reproduced intentionally (SURVEY.md §2.4):
+  * decode-phase recent_ratio is hard-overridden to 0.3 (easykv.py:308, 709);
+  * roco's recency guard is double-layered (std of the 10 newest slots forced
+    to 1e9 AND feasible-set size budget - recent_window, easykv.py:320-324);
+  * tova uses per-head last-token attention in decode but the head-mean in
+    strided encoding (easykv.py:297-300 vs :454-457);
+  * `h2o_head_std_avg` / `h2o_head_decay_avg_std` are aliases of roco.
+
+Deviation: the reference's `random` branch in encoding_decoding decode
+references an undefined variable and would crash (easykv.py:744, SURVEY
+§2.4.4); we implement the evident intent (uniform over non-sink slots).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cache import LayerCache
+
+INT_MAX = jnp.int32(2**31 - 1)
+STD_FORCE = jnp.float32(1e9)     # reference's 1e9 std override (easykv.py:321)
+STD_EXCLUDE = jnp.float32(1e30)  # strictly above STD_FORCE: never feasible
+ROCO_STD_GUARD = 10              # "last 10 slots" guard (easykv.py:321, 472)
+
+# Phase determines candidate masks + score-update flavor.
+PHASE_DECODE = "decode"                # reference easykv.py:288-362
+PHASE_ENCODE = "encode"                # reference easykv.py:443-499
+PHASE_ENCDEC_DECODE = "encdec_decode"  # reference easykv.py:694-747
+
+
+@dataclasses.dataclass(frozen=True)
+class PolicySpec:
+    """Static (compile-time) policy configuration for one engine run."""
+
+    policy: str               # canonical: random|recency|h2o_head|tova|roco|full
+    phase: str                # PHASE_*
+    k: int                    # slots evicted per event (1 decode, stride encode)
+    sink_length: int          # temp_length, reference easykv.py:206
+    recent_window: int        # int(budget * recent_ratio), phase-specific
+    feasible_k: int = 0       # roco stage-1 top-k size
+    protect_prompt: bool = False  # decode mode: only generated slots evictable
+
+
+def _smallest_k(
+    values: jax.Array, mask: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Indices (and values) of the k smallest `values` where `mask`, per the
+    leading batch dims. Ties break toward the lower slot index, matching
+    torch.topk/argmin first-occurrence behavior."""
+    masked = jnp.where(mask, values.astype(jnp.float32), jnp.float32(jnp.inf))
+    neg_vals, ids = jax.lax.top_k(-masked, k)
+    return ids.astype(jnp.int32), -neg_vals
+
+
+def _slots_at_ranks(
+    pos: jax.Array, cand: jax.Array, start_rank: jax.Array, k: int
+) -> jax.Array:
+    """Slots holding the candidates with age-rank start_rank..start_rank+k-1
+    (rank 0 = oldest candidate). pos: (B, H, S); start_rank: scalar or (B,).
+
+    Used by recency (evict oldest-after-sink span, reference easykv.py:492)
+    and random (evict a uniform rank span, reference easykv.py:494-499)."""
+    B, H, S = pos.shape
+    sorted_pos = jnp.sort(jnp.where(cand, pos, INT_MAX), axis=-1)  # (B, H, S)
+    start = jnp.broadcast_to(jnp.asarray(start_rank, jnp.int32), (B,))
+    start = jnp.clip(start, 0, S - k)
+    ranks = start[:, None, None] + jnp.arange(k, dtype=jnp.int32)[None, None, :]
+    lo = jnp.take_along_axis(sorted_pos, ranks[:, :1, :1].repeat(H, axis=1), axis=-1)
+    hi = jnp.take_along_axis(
+        sorted_pos, (ranks[:, :1, -1:]).repeat(H, axis=1), axis=-1
+    )
+    span = cand & (pos >= lo) & (pos <= hi)
+    ids, _ = jax.lax.top_k(span.astype(jnp.int32) * (2 * S) - jax.lax.broadcasted_iota(
+        jnp.int32, pos.shape, dimension=2
+    ), k)
+    # top_k above returns span slots in ascending slot order.
+    return ids.astype(jnp.int32)
+
+
+def select_evictions(
+    cache: LayerCache,
+    spec: PolicySpec,
+    next_pos: jax.Array,       # (B,) position id the next token will get
+    prompt_len: jax.Array,     # (B,) prompt length (decode prompt protection)
+    rand_rank: jax.Array,      # (B,) pre-drawn rank for the random policy
+) -> jax.Array:
+    """Select spec.k slots per (B, H) to evict. Returns (B, H, k) int32.
+
+    Must only be called when an eviction is due (the engine guards with
+    lax.cond on the budget trigger, reference easykv.py:302-303, :459)."""
+    pos = cache.pos
+    B, H, S = pos.shape
+    valid = pos >= 0
+    npos = next_pos[:, None, None]
+
+    base = valid
+    if spec.phase == PHASE_DECODE and spec.protect_prompt:
+        base = base & (pos >= prompt_len[:, None, None])
+
+    if spec.policy == "h2o_head":
+        cand = base
+        if spec.phase == PHASE_ENCODE:
+            cand = cand & (pos >= spec.sink_length)
+        if spec.phase in (PHASE_DECODE, PHASE_ENCODE, PHASE_ENCDEC_DECODE):
+            # decode: easykv.py:311; encode: :463; encdec: :712 — all exclude
+            # the newest recent_window slots (encdec h2o is dead code in the
+            # reference whitelist but implemented for completeness).
+            cand = cand & (pos < npos - spec.recent_window)
+        ids, _ = _smallest_k(cache.score, cand, spec.k)
+        return ids
+
+    if spec.policy == "tova":
+        cand = base
+        if spec.phase == PHASE_ENCODE:
+            # easykv.py:485: sink + recent window excluded.
+            cand = cand & (pos >= spec.sink_length) & (pos < npos - spec.recent_window)
+        # decode (easykv.py:335) and encdec decode (:734): plain argmin.
+        ids, _ = _smallest_k(cache.score, cand, spec.k)
+        return ids
+
+    if spec.policy == "roco":
+        # Stage 1: feasible set = lowest-std slots (std guard on the 10 newest
+        # and, in encode, the sink; easykv.py:320-322, :471-473, :720-722).
+        counter = cache.counter
+        mean = cache.score / counter
+        var = cache.score_sq / counter - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        std = jnp.where(pos >= npos - ROCO_STD_GUARD, STD_FORCE, std)
+        if spec.phase == PHASE_ENCODE:
+            std = jnp.where(pos < spec.sink_length, STD_FORCE, std)
+        std = jnp.where(base, std, STD_EXCLUDE)
+        feasible_ids, _ = _smallest_k(std, jnp.ones_like(base), spec.feasible_k)
+        # Stage 2: lowest time-averaged score within the feasible set
+        # (easykv.py:323, :475, :723).
+        f_score = jnp.take_along_axis(cache.score, feasible_ids, axis=-1)
+        f_counter = jnp.take_along_axis(counter, feasible_ids, axis=-1)
+        f_avg = f_score / f_counter
+        _, inner = jax.lax.top_k(-f_avg, spec.k)
+        return jnp.take_along_axis(feasible_ids, inner.astype(jnp.int32), axis=-1)
+
+    if spec.policy == "recency":
+        if spec.phase == PHASE_DECODE:
+            # Oldest generated token (easykv.py:343-352 via positions_tensor).
+            ids, _ = _smallest_k(pos.astype(jnp.float32), base, spec.k)
+            return ids
+        # encode / encdec decode: oldest span after the sink
+        # (easykv.py:491-493, :741-742).
+        start = jnp.full((B,), spec.sink_length, jnp.int32)
+        return _slots_at_ranks(pos, valid, start, spec.k)
+
+    if spec.policy == "random":
+        if spec.phase == PHASE_DECODE:
+            # Uniform over generated tokens (easykv.py:353-362).
+            return _slots_at_ranks(pos, base, rand_rank, spec.k)
+        if spec.phase == PHASE_ENCODE:
+            # Uniform span start over buffer ranks [0, S-k) (easykv.py:494-499;
+            # note: the reference does NOT sink-protect random in encode).
+            return _slots_at_ranks(pos, valid, rand_rank, spec.k)
+        # encdec decode: reference path crashes (easykv.py:744); implement the
+        # intent: uniform over non-sink candidates (offset rank by sink).
+        start = rand_rank + spec.sink_length
+        return _slots_at_ranks(pos, valid, start, spec.k)
+
+    raise ValueError(f"policy {spec.policy!r} does not evict")
+
+
+def update_scores(
+    cache: LayerCache,
+    probs_kv: jax.Array,     # (B, Hkv, T, S) f32 from ops.attention.attend
+    spec: PolicySpec,
+    update_gate: jax.Array,  # scalar bool: apply this chunk's update?
+    bootstrap: bool = False,
+) -> LayerCache:
+    """Fold a chunk's attention probabilities into the score sidecars.
+
+    bootstrap=True: prefix-prefill accumulation used for keep_attention
+    (reference h2o_head_score, easykv.py:173-186) — always sum + sum-of-
+    squares regardless of policy.
+
+    Otherwise per-policy (reference easykv.py:288-300 decode, :443-457
+    encode): h2o accumulates mass; roco accumulates mass + squared mass;
+    tova overwrites with the last query row (decode: per-head; encode:
+    head-mean broadcast, easykv.py:456-457). Padding queries contribute
+    zero rows by construction (masked softmax).
+    """
+    gate = update_gate.astype(jnp.float32)
+    if bootstrap or spec.policy in ("h2o_head", "roco"):
+        delta = jnp.sum(probs_kv, axis=2) * gate
+        score = cache.score + delta
+        score_sq = cache.score_sq
+        if bootstrap or spec.policy == "roco":
+            delta_sq = jnp.sum(probs_kv * probs_kv, axis=2) * gate
+            score_sq = cache.score_sq + delta_sq
+        return cache._replace(score=score, score_sq=score_sq)
+    if spec.policy == "tova":
+        last = probs_kv[:, :, -1, :]  # (B, Hkv, S)
+        if spec.phase == PHASE_ENCODE:
+            last = jnp.mean(last, axis=1, keepdims=True)
+            last = jnp.broadcast_to(last, cache.score.shape)
+        score = jnp.where(update_gate, last, cache.score)
+        return cache._replace(score=score)
+    return cache  # recency / random / full keep no scores
+
+
+def bump_counters(
+    cache: LayerCache, amount: float, gate: Optional[jax.Array] = None
+) -> LayerCache:
+    """Age all slots by `amount` (reference easykv.py:304, :460-461) —
+    applied only when an eviction event fires, like the reference.
+    gate: optional (B,) bool restricting to live batch rows."""
+    delta = jnp.float32(amount)
+    if gate is not None:
+        delta = delta * gate[:, None, None].astype(jnp.float32)
+    return cache._replace(counter=cache.counter + delta)
