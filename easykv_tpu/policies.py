@@ -86,9 +86,11 @@ def _slots_at_ranks(
         sorted_pos, (ranks[:, :1, -1:]).repeat(H, axis=1), axis=-1
     )
     span = cand & (pos >= lo) & (pos <= hi)
-    ids, _ = jax.lax.top_k(span.astype(jnp.int32) * (2 * S) - jax.lax.broadcasted_iota(
-        jnp.int32, pos.shape, dimension=2
-    ), k)
+    _, ids = jax.lax.top_k(
+        span.astype(jnp.int32) * (2 * S)
+        - jax.lax.broadcasted_iota(jnp.int32, pos.shape, dimension=2),
+        k,
+    )
     # top_k above returns span slots in ascending slot order.
     return ids.astype(jnp.int32)
 
@@ -141,9 +143,16 @@ def select_evictions(
         mean = cache.score / counter
         var = cache.score_sq / counter - mean * mean
         std = jnp.sqrt(jnp.maximum(var, 0.0))
-        std = jnp.where(pos >= npos - ROCO_STD_GUARD, STD_FORCE, std)
+        # The reference's forced slots all share the same 1e9 value, and when
+        # feasible_k exceeds the number of unforced slots torch.topk breaks
+        # the tie by buffer index == arrival order. Encode that order into the
+        # forced values (position-scaled offsets stay monotone in f32: steps
+        # of 1024 exceed the 128-ulp resolution near 2e9).
+        forced = pos >= npos - ROCO_STD_GUARD
         if spec.phase == PHASE_ENCODE:
-            std = jnp.where(pos < spec.sink_length, STD_FORCE, std)
+            forced |= pos < spec.sink_length
+        force_val = STD_FORCE + pos.astype(jnp.float32) * 1024.0
+        std = jnp.where(forced, force_val, std)
         std = jnp.where(base, std, STD_EXCLUDE)
         feasible_ids, _ = _smallest_k(std, jnp.ones_like(base), spec.feasible_k)
         # Stage 2: lowest time-averaged score within the feasible set
