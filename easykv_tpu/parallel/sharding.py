@@ -1,0 +1,71 @@
+"""PartitionSpecs for parameters and the budgeted KV cache.
+
+Weights are TP-sharded over attention heads / FFN dim on the `model` axis;
+the KV ring buffer and its score sidecars shard over KV heads on the same
+axis so that per-head eviction indices never cross devices (SURVEY.md §7
+design decision 4). Batch shards over `data`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..cache import KVCache
+from ..config import MeshConfig, ModelConfig
+
+
+def param_pspecs(cfg: ModelConfig, mc: MeshConfig) -> Dict[str, Any]:
+    m = mc.axis_model
+    specs = {
+        # embed is replicated (gathers are cheap, the table is small relative
+        # to layer weights); the LM head is TP-sharded over vocab.
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "layers": {
+            "wq": P(None, None, m),   # (L, D, Hq*Dh) — heads on model axis
+            "wk": P(None, None, m),   # (L, D, Hkv*Dh)
+            "wv": P(None, None, m),
+            "wo": P(None, m, None),   # row-parallel; XLA all-reduces the output
+            "wg": P(None, None, m),   # (L, D, F)
+            "wu": P(None, None, m),
+            "wd": P(None, m, None),
+            "ln_attn": P(None, None),
+            "ln_mlp": P(None, None),
+        },
+    }
+    specs["lm_head"] = P(None, m)
+    return specs
+
+
+def cache_pspecs(mc: MeshConfig) -> KVCache:
+    d, m = mc.axis_data, mc.axis_model
+    return KVCache(
+        k=P(None, d, m, None, None),
+        v=P(None, d, m, None, None),
+        pos=P(None, d, m, None),
+        score=P(None, d, m, None),
+        score_sq=P(None, d, m, None),
+        counter=P(None, d, m, None),
+    )
+
+
+def _tree_device_put(tree, specs, mesh: Mesh):
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree,
+        specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params, cfg: ModelConfig, mc: MeshConfig, mesh: Mesh):
+    specs = param_pspecs(cfg, mc)
+    if "lm_head" not in params:
+        specs = {k: v for k, v in specs.items() if k != "lm_head"}
+    return _tree_device_put(params, specs, mesh)
+
+
+def shard_cache(cache: KVCache, mc: MeshConfig, mesh: Mesh) -> KVCache:
+    return KVCache(*_tree_device_put(tuple(cache), tuple(cache_pspecs(mc)), mesh))

@@ -1,0 +1,131 @@
+"""Engine-level integration tests: budget-ratio invariants, EOS stopping,
+determinism, and mode dispatch — the invariants the reference prints as its
+only runtime checks (reference easykv.py:365, 503, 751, 895)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from easykv_tpu import CausalLM, GenerationConfig, ModelConfig, generate
+from easykv_tpu.engine.generate import stride_align, stride_align_encdec
+from easykv_tpu.models import llama
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return CausalLM(cfg, params)
+
+
+def ids_of(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(1, 120, size=(n,))
+
+
+def test_stride_align_matches_reference_loops():
+    # exhaustive check of the closed-form vs the reference's search loops
+    for length in [40, 41, 100, 10253]:
+        for stride in [1, 3, 8, 96]:
+            for budget in [7, 24, length // 2]:
+                if stride > budget or budget > length:
+                    continue
+                idx, r_idx = stride_align(length, budget, stride)
+                assert idx <= budget and (length - idx) % stride == 0
+                if idx >= stride:
+                    assert (idx - r_idx) % stride == 0 and 0 <= r_idx < idx
+                idx2, r2 = stride_align_encdec(length, budget, stride)
+                assert idx2 == idx
+                if idx >= 2:
+                    assert 1 <= r2 < idx and (idx - r2) % stride == 0
+
+
+def test_decoding_budget_ratio(tiny_model):
+    out = generate(
+        tiny_model, ids_of(30),
+        {"budget": 8, "kv_policy": "roco", "max_new_tokens": 16,
+         "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []},
+        kv_mode="decoding",
+    )
+    assert len(out) == 16  # no EOS -> hits max_new_tokens
+
+
+def test_greedy_is_deterministic(tiny_model):
+    gc = {"budget": 8, "kv_policy": "h2o_head", "max_new_tokens": 10,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    a = generate(tiny_model, ids_of(30), gc, kv_mode="decoding")
+    b = generate(tiny_model, ids_of(30), gc, kv_mode="decoding")
+    assert a == b
+
+
+def test_eos_stops_generation(tiny_model):
+    gc = {"budget": 8, "kv_policy": "recency", "max_new_tokens": 50,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    full = generate(tiny_model, ids_of(30, 1), gc, kv_mode="decoding")
+    # use the first greedy token as the EOS id -> must stop immediately
+    gc2 = dict(gc, eos_token_ids=[full[0]])
+    out = generate(tiny_model, ids_of(30, 1), gc2, kv_mode="decoding")
+    assert out == [full[0]]
+
+
+def test_policy_aliases(tiny_model):
+    gc = {"budget": 8, "kv_policy": "h2o_head_std_avg", "max_new_tokens": 6,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    a = generate(tiny_model, ids_of(30), gc, kv_mode="decoding")
+    gc["kv_policy"] = "roco"
+    b = generate(tiny_model, ids_of(30), gc, kv_mode="decoding")
+    assert a == b
+
+
+def test_auto_dispatch(tiny_model):
+    gc = {"budget": 100, "kv_policy": "roco", "max_new_tokens": 5,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    a = generate(tiny_model, ids_of(40), gc, kv_mode="auto", stride=4)
+    # budget > length -> decoding with budget-length
+    gc["budget"] = 100 - 40
+    b = generate(tiny_model, ids_of(40), gc, kv_mode="decoding", stride=4)
+    assert a == b
+
+
+def test_encoding_full_budget_equals_full_cache(tiny_model):
+    gc = {"budget": 1.0, "kv_policy": "roco", "max_new_tokens": 8,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    a = generate(tiny_model, ids_of(40), gc, kv_mode="encoding", stride=4)
+    gc2 = {"budget": 999, "kv_policy": "full", "max_new_tokens": 8,
+           "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    b = generate(tiny_model, ids_of(40), gc2, kv_mode="decoding")
+    assert a == b
+
+
+def test_ppl_full_vs_budgeted_coverage(tiny_model):
+    # full-cache ppl is deterministic and finite; budgeted ppl close to the
+    # full value when budget≈1 (eviction barely kicks in)
+    ids = ids_of(48, 3)
+    p_full = generate(tiny_model, ids, {"budget": 1.0}, kv_mode="ppl", stride=4)
+    assert np.isfinite(p_full) and p_full > 0
+    p_tight = generate(
+        tiny_model, ids, {"budget": 0.5, "kv_policy": "roco"},
+        kv_mode="ppl", stride=4,
+    )
+    assert np.isfinite(p_tight) and p_tight > 0
+
+
+def test_encdec_policy_whitelist(tiny_model):
+    with pytest.raises(AssertionError):
+        generate(
+            tiny_model, ids_of(40),
+            {"budget": 20, "kv_policy": "h2o_head", "max_new_tokens": 4},
+            kv_mode="encoding_decoding", stride=4,
+        )
+
+
+def test_generation_config_dataclass_roundtrip():
+    gc = GenerationConfig.from_dict(
+        {"budget": 0.5, "kv_policy": "h2o_head_std_avg", "unknown_key": 1}
+    )
+    assert gc.with_policy().kv_policy == "roco"

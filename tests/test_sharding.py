@@ -1,0 +1,112 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh:
+TP(model) x DP(data) sharded forward with per-shard-local eviction, and
+parity of sharded vs single-device execution."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from easykv_tpu.cache import init_cache
+from easykv_tpu.config import MeshConfig, ModelConfig
+from easykv_tpu.models import llama
+from easykv_tpu.models.llama import StepCtx
+from easykv_tpu.parallel import make_mesh, shard_cache, shard_params
+from easykv_tpu.policies import PHASE_DECODE, PolicySpec
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup(data, model):
+    mc = MeshConfig(data=data, model=model)
+    mesh = make_mesh(mc)
+    Hkv = model
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=16 * model, intermediate_size=32 * model,
+        num_hidden_layers=2, num_attention_heads=2 * Hkv,
+        num_key_value_heads=Hkv, head_dim=8, max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    return mc, mesh, cfg, params
+
+
+def _decode_ctx(B, pos, P_len, gate):
+    return StepCtx(
+        q_pos=jnp.full((B, 1), pos, jnp.int32),
+        token_valid=jnp.ones((B, 1), bool),
+        counter_init=jnp.zeros((B, 1), jnp.float32),
+        next_pos=jnp.full((B,), pos + 1, jnp.int32),
+        prompt_len=jnp.full((B,), P_len, jnp.int32),
+        evict_gate=jnp.full((B,), gate, bool),
+        update_gate=jnp.ones((), bool),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+
+
+def test_sharded_forward_matches_single_device():
+    data, model = 2, 4
+    mc, mesh, cfg, params = _setup(data, model)
+    B, P_len, budget = data, 8, 6
+    rw = int(budget * 0.3)
+    spec = PolicySpec("roco", PHASE_DECODE, 1, 4, rw,
+                      feasible_k=budget - rw, protect_prompt=True)
+    S = P_len + budget + 1
+    cache0 = init_cache(cfg.num_hidden_layers, B, cfg.num_key_value_heads, S,
+                        cfg.head_dim, jnp.float32)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 64, size=(B, P_len)), jnp.int32)
+    pre_ctx = StepCtx(
+        q_pos=jnp.broadcast_to(jnp.arange(P_len, dtype=jnp.int32)[None], (B, P_len)),
+        token_valid=jnp.ones((B, P_len), bool),
+        counter_init=jnp.zeros((B, P_len), jnp.float32),
+        next_pos=jnp.full((B,), P_len, jnp.int32),
+        prompt_len=jnp.full((B,), P_len, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.zeros((), bool),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+
+    def run(params, cache):
+        logits, cache = llama.forward(params, cfg, cache, ids, pre_ctx, None)
+        outs = [logits[:, -1]]
+        tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+        for t in range(budget + 3):  # crosses the eviction boundary
+            ctx = _decode_ctx(B, P_len + t, P_len, t + 1 > budget)
+            logits, cache = llama.forward(params, cfg, cache, tok, ctx, spec)
+            tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            outs.append(logits[:, -1])
+        return jnp.stack(outs, 1), cache
+
+    ref_logits, ref_cache = jax.jit(run)(params, cache0)
+
+    sp = shard_params(params, cfg, mc, mesh)
+    sc = shard_cache(cache0, mc, mesh)
+    sh_logits, sh_cache = jax.jit(run)(sp, sc)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(sh_logits), atol=2e-4, rtol=2e-3
+    )
+    # eviction decisions (retained positions) identical across sharding
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ref_cache.pos), axis=-1),
+        np.sort(np.asarray(sh_cache.pos), axis=-1),
+    )
+
+
+def test_cache_sharding_layout():
+    data, model = 2, 4
+    mc, mesh, cfg, params = _setup(data, model)
+    cache = init_cache(cfg.num_hidden_layers, data, model, 16, cfg.head_dim)
+    sc = shard_cache(cache, mc, mesh)
+    shard = sc.k.addressable_shards[0]
+    L, B, H, S, D = cache.k.shape
+    assert shard.data.shape == (L, B // data, H // model, S, D)
+
+
+def test_dryrun_entrypoint():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
