@@ -30,15 +30,17 @@ def main():
     log(f"backend={platform} devices={jax.devices()}")
 
     if on_tpu:
-        # LLaMa2-7B architecture (random weights; throughput is weight-independent)
+        # TinyLlama-1.1B architecture (random weights; throughput is
+        # weight-independent). LLaMa2-7B bf16 (13.5 GB) does not fit the
+        # 16 GB v5e chip alongside loop carries; int8 7B is future work.
         cfg = ModelConfig(
-            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
-            max_position_embeddings=4096,
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
+            max_position_embeddings=2048,
         )
         dtype = jnp.bfloat16
         prompt_len, gen_tokens, budget = 512, 128, 200
-        name = "llama2_7b"
+        name = "tinyllama_1.1b"
     else:
         cfg = ModelConfig(
             vocab_size=1024, hidden_size=256, intermediate_size=688,

@@ -30,6 +30,27 @@ from ..policies import PolicySpec, bump_counters, select_evictions, update_score
 
 Params = Dict[str, Any]
 
+_PALLAS_OVERRIDE = None  # set via use_pallas() for tests/benchmarks
+
+
+def use_pallas(enabled: Optional[bool]) -> None:
+    """Force the fused Pallas decode kernel on/off (None = auto: TPU only)."""
+    global _PALLAS_OVERRIDE
+    _PALLAS_OVERRIDE = enabled
+
+
+def _pallas_enabled() -> bool:
+    import os
+
+    if _PALLAS_OVERRIDE is not None:
+        return _PALLAS_OVERRIDE
+    env = os.environ.get("EASYKV_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 class StepCtx(NamedTuple):
     """Dynamic per-chunk context threaded through the layer scan.
@@ -135,6 +156,14 @@ def forward(
             out, probs_kv = attend(
                 q_att, k_att, cl.v, cl.pos, ctx.q_pos,
                 sliding_window=cfg.sliding_window, scale=scale,
+            )
+        elif C == 1 and cfg.sliding_window is None and _pallas_enabled():
+            # Fused decode path: one HBM pass over K/V, probs emitted on-chip
+            # (ops/pallas/decode_attention.py).
+            from ..ops.pallas import fused_decode_attend
+
+            out, probs_kv = fused_decode_attend(
+                q, cl.k, cl.v, cl.pos, ctx.q_pos[:, 0]
             )
         else:
             out, probs_kv = attend(

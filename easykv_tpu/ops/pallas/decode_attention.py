@@ -1,0 +1,120 @@
+"""Fused Pallas TPU kernel: single-token decode attention over the budgeted
+KV ring buffer + eviction-score probability emission in one VMEM pass.
+
+Replaces (on TPU, T=1) the XLA path in ops/attention.py, which itself
+replaces the reference's materialize-attention-maps design
+(reference llama_patch.py:244-247 + easykv.py:271-300): here K and V are
+read from HBM exactly once per step; masking (slot validity + causality),
+the fp32 softmax, the GQA group mean for KV-head-granular scores
+(reference process_for_mqa_gqa, easykv.py:188-196), and the attention
+output all happen on-chip.
+
+Grid: (B, Hkv). Per program: q (rep, D), K/V (S, D), pos (1, S) in VMEM.
+VMEM footprint ~ 2*S*D*2B; S up to ~16K fits comfortably at D=128.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # plain float: jnp constants would be captured as kernel consts
+
+
+def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, out_ref, probs_ref, *, scale):
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)          # (rep, D)
+    k = k_ref[0, 0].astype(jnp.float32)          # (S, D)
+    v = v_ref[0, 0]                              # (S, D)
+    pos = pos_ref[0, 0]                          # (1, S)
+    q_pos = qpos_ref[b]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                     # (rep, S)
+    mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
+    logits = jnp.where(mask, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.exp(logits - m)
+    e = jnp.where(mask, e, 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    p = e / denom                                 # (rep, S) f32
+
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                             # (rep, D)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    probs_ref[0, 0] = jnp.mean(p, axis=0, keepdims=True)  # (1, S) GQA mean
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_decode_attend(
+    q: jax.Array,       # (B, Hq, 1, D)
+    k: jax.Array,       # (B, Hkv, S, D)
+    v: jax.Array,       # (B, Hkv, S, D)
+    kv_pos: jax.Array,  # (B, Hkv, S) int32
+    q_pos: jax.Array,   # (B,) int32
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (out (B, Hq, 1, D), probs_kv (B, Hkv, 1, S) float32) —
+    drop-in for ops.attention.attend at T=1 (no sliding window)."""
+    B, Hq, T, D = q.shape
+    assert T == 1
+    Hkv, S = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    scale = D ** -0.5
+
+    S_pad = ((S + 127) // 128) * 128
+    if S_pad != S:
+        pad = [(0, 0), (0, 0), (0, S_pad - S), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kv_pos = jnp.pad(kv_pos, [(0, 0), (0, 0), (0, S_pad - S)],
+                         constant_values=-1)
+
+    qg = q.reshape(B, Hkv, rep, D)
+    pos4 = kv_pos[:, :, None, :]  # (B, Hkv, 1, S_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, D), lambda b, h, qp: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad, D), lambda b, h, qp: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad, D), lambda b, h, qp: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, qp: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, rep, D), lambda b, h, qp: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, qp: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    out, probs = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hkv * rep * S_pad * D * 2,
+            bytes_accessed=B * Hkv * S_pad * D * 2 * k.dtype.itemsize,
+            transcendentals=B * Hkv * rep * S_pad,
+        ),
+        interpret=interpret,
+    )(q_pos, qg, k, v, pos4)
+
+    out = out.reshape(B, Hq, 1, D)
+    return out, probs[:, :, :, :S]

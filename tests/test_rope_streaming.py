@@ -1,0 +1,140 @@
+"""DynamicNTK RoPE scaling parity vs HF, and StreamingLLM cache-relative
+position semantics (reference utils.py:53-57, llama_patch.py:251-379)."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from easykv_tpu.cache import init_cache
+from easykv_tpu.config import ModelConfig
+from easykv_tpu.models import llama
+from easykv_tpu.models.hf import params_from_hf_model
+from easykv_tpu.models.llama import StepCtx, _age_ranks
+from easykv_tpu.ops.rope import rope_base_for
+
+
+def test_ntk_base_formula():
+    cfg = ModelConfig(
+        vocab_size=8, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4,
+        max_position_embeddings=4096, rope_theta=10000.0,
+        rope_scaling_type="dynamic", rope_scaling_factor=2.0,
+        rope_ntk_length=5200,
+    )
+    d = cfg.head_dim
+    expected = 10000.0 * ((2.0 * 5200 / 4096) - 1.0) ** (d / (d - 2))
+    assert abs(rope_base_for(cfg) - expected) < 1e-6
+    # below the original max length the base is unscaled
+    cfg2 = ModelConfig(
+        vocab_size=8, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=4,
+        max_position_embeddings=4096, rope_scaling_type="dynamic",
+        rope_scaling_factor=2.0, rope_ntk_length=1000,
+    )
+    assert rope_base_for(cfg2) == 10000.0
+
+
+def test_dynamic_ntk_logits_parity_vs_hf():
+    """HF recomputes the NTK base once the sequence exceeds
+    max_position_embeddings; with rope_ntk_length pinned to the sequence
+    length our logits must match."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    T = 32
+    hf_cfg = LlamaConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=16,
+        rope_scaling={"type": "dynamic", "factor": 2.0},
+    )
+    model = LlamaForCausalLM(hf_cfg).eval().float()
+    cfg, params = params_from_hf_model(model, dtype=jnp.float32)
+    cfg = cfg.__class__(**{**cfg.__dict__, "rope_ntk_length": T})
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 96, size=(1, T))
+    with torch.no_grad():
+        theirs = model(input_ids=torch.tensor(ids)).logits.numpy()
+
+    cache = init_cache(cfg.num_hidden_layers, 1, cfg.num_key_value_heads, T,
+                       cfg.head_dim, jnp.float32)
+    pos = jnp.arange(T, dtype=jnp.int32)[None]
+    ctx = StepCtx(
+        q_pos=pos, token_valid=jnp.ones((1, T), bool),
+        counter_init=jnp.zeros((1, T), jnp.float32),
+        next_pos=jnp.array([T], jnp.int32), prompt_len=jnp.array([T], jnp.int32),
+        evict_gate=jnp.zeros((1,), bool), update_gate=jnp.zeros((), bool),
+        rand_rank=jnp.zeros((1,), jnp.int32),
+    )
+    ours, _ = llama.forward(params, cfg, cache, jnp.asarray(ids), ctx, None)
+    np.testing.assert_allclose(np.asarray(ours), theirs, atol=3e-4, rtol=2e-3)
+
+
+def test_age_ranks():
+    pos = jnp.asarray([[[7, -1, 3, 12, 0]]], jnp.int32)
+    ranks = np.asarray(_age_ranks(pos))[0, 0]
+    # oldest (pos 0) -> rank 0; pos 3 -> 1; pos 7 -> 2; pos 12 -> 3; invalid -> 0
+    np.testing.assert_array_equal(ranks, [2, 0, 1, 3, 0])
+
+
+def test_streaming_equals_plain_without_eviction():
+    """With no eviction, age rank == position, so streaming (cache-relative
+    RoPE) must reproduce plain RoPE exactly."""
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    T = 10
+    ids = jnp.asarray(rng.integers(1, 64, size=(1, T)), jnp.int32)
+
+    def run(streaming):
+        cache = init_cache(cfg.num_hidden_layers, 1, cfg.num_key_value_heads,
+                           T, cfg.head_dim, jnp.float32)
+        outs = []
+        for t in range(T):
+            ctx = StepCtx(
+                q_pos=jnp.asarray([[t]], jnp.int32),
+                token_valid=jnp.ones((1, 1), bool),
+                counter_init=jnp.zeros((1, 1), jnp.float32),
+                next_pos=jnp.asarray([t + 1], jnp.int32),
+                prompt_len=jnp.asarray([T], jnp.int32),
+                evict_gate=jnp.zeros((1,), bool),
+                update_gate=jnp.zeros((), bool),
+                rand_rank=jnp.zeros((1,), jnp.int32),
+            )
+            logits, cache = llama.forward(
+                params, cfg, cache, ids[:, t : t + 1], ctx, None,
+                streaming=streaming,
+            )
+            outs.append(np.asarray(logits)[0, 0])
+        return np.stack(outs)
+
+    np.testing.assert_allclose(run(True), run(False), atol=1e-4, rtol=1e-3)
+
+
+def test_streaming_generation_runs_with_eviction():
+    from easykv_tpu import CausalLM, generate
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    m = CausalLM(cfg, params)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(1, 64, size=(20,))
+    out = generate(
+        m, ids,
+        {"budget": 6, "kv_policy": "roco", "max_new_tokens": 12,
+         "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": [],
+         "streaming": True},
+        kv_mode="decoding",
+    )
+    assert len(out) == 12
