@@ -39,7 +39,9 @@ def main():
             max_position_embeddings=2048,
         )
         dtype = jnp.bfloat16
-        prompt_len, gen_tokens, budget = 512, 128, 200
+        # gen_tokens > budget so the eviction path actually runs in steady
+        # state (184 evictions/run); full-cache run generates the same count.
+        prompt_len, gen_tokens, budget = 512, 384, 200
         name = "tinyllama_1.1b"
     else:
         cfg = ModelConfig(

@@ -138,20 +138,33 @@ def write_tokens(
     h_ix = jnp.arange(H)[None, :, None]
 
     if token_valid is None:
-        pos_write = new_pos
-        cnt_write = counter_init
+        pos_write = jnp.broadcast_to(new_pos[:, None, :], (B, H, C))
+        cnt_write = jnp.broadcast_to(counter_init[:, None, :], (B, H, C))
+        k_write, v_write = new_k, new_v
+        zeros = jnp.zeros((B, H, C), jnp.float32)
+        score_write = score_sq_write = zeros
     else:
-        pos_write = jnp.where(token_valid, new_pos, -1)
-        cnt_write = jnp.where(token_valid, counter_init, 0.0)
-    pos_write = jnp.broadcast_to(pos_write[:, None, :], (B, H, C))
-    cnt_write = jnp.broadcast_to(cnt_write[:, None, :], (B, H, C))
+        # Masked (padding) entries must leave the slot untouched — a batch row
+        # may have fewer free slots than C (e.g. an active serving slot during
+        # another request's masked prefill), in which case free_slot_ids falls
+        # back to valid slots and an unconditional write would destroy them.
+        tv = token_valid[:, None, :]  # (B, 1, C)
+        cur = lambda arr: jnp.take_along_axis(arr, ids, axis=2)
+        pos_write = jnp.where(tv, new_pos[:, None, :], cur(cache.pos))
+        cnt_write = jnp.where(tv, counter_init[:, None, :], cur(cache.counter))
+        tvd = tv[..., None]
+        k_write = jnp.where(tvd, new_k, jnp.take_along_axis(cache.k, ids[..., None], axis=2))
+        v_write = jnp.where(tvd, new_v, jnp.take_along_axis(cache.v, ids[..., None], axis=2))
+        tvf = tv.astype(jnp.float32)
+        score_write = (1.0 - tvf) * cur(cache.score)
+        score_sq_write = (1.0 - tvf) * cur(cache.score_sq)
 
     return LayerCache(
-        k=cache.k.at[b_ix, h_ix, ids].set(new_k),
-        v=cache.v.at[b_ix, h_ix, ids].set(new_v),
+        k=cache.k.at[b_ix, h_ix, ids].set(k_write),
+        v=cache.v.at[b_ix, h_ix, ids].set(v_write),
         pos=cache.pos.at[b_ix, h_ix, ids].set(pos_write),
-        score=cache.score.at[b_ix, h_ix, ids].set(0.0),
-        score_sq=cache.score_sq.at[b_ix, h_ix, ids].set(0.0),
+        score=cache.score.at[b_ix, h_ix, ids].set(score_write),
+        score_sq=cache.score_sq.at[b_ix, h_ix, ids].set(score_sq_write),
         counter=cache.counter.at[b_ix, h_ix, ids].set(cnt_write),
     )
 

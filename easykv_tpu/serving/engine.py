@@ -1,0 +1,236 @@
+"""Continuous-batching serving engine over the budgeted KV cache.
+
+New capability relative to the reference (batch size is fixed at 1
+throughout the reference, SURVEY.md §2.3): B batch slots share one compiled
+prefill-chunk function and one compiled decode-step function; requests are
+admitted into free slots (masked chunked prefill that leaves other rows
+untouched), decode steps advance all active slots together, and finished
+slots are recycled without recompilation.
+
+Each slot owns an independent budgeted ring-buffer region (the cache batch
+dimension), so per-slot eviction follows exactly the single-request decode
+semantics (reference easykv.py:228-366). Under a (data, model) mesh the
+batch dimension shards over `data`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cache import KVCache, init_cache
+from ..config import GenerationConfig, ModelConfig, canonical_policy
+from ..models import llama
+from ..models.llama import StepCtx
+from ..policies import PHASE_DECODE, PolicySpec
+from ..sampling import logits_adapter, sample_token
+
+
+@dataclasses.dataclass
+class Request:
+    request_id: int
+    ids: np.ndarray             # (T,) prompt tokens
+    max_new_tokens: int = 128
+    # filled by the engine:
+    out: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "pc"))
+def _prefill_chunk(cfg: ModelConfig, spec, pc: int, params, cache: KVCache,
+                   chunk, start, prefix_len, row):
+    """Masked prefill: only batch row `row` consumes `chunk`; other rows are
+    padding-masked and their cache/scores are untouched."""
+    B = cache.k.shape[1]
+    pos = start + jnp.arange(pc, dtype=jnp.int32)[None, :]
+    row_mask = (jnp.arange(B) == row)[:, None]
+    tok_valid = row_mask & (pos < prefix_len)
+    q_pos = jnp.where(tok_valid, pos, -1)
+    ctx = StepCtx(
+        q_pos=q_pos,
+        token_valid=tok_valid,
+        counter_init=jnp.zeros((B, pc), jnp.float32),
+        next_pos=jnp.where(jnp.arange(B) == row, jnp.minimum(start + pc, prefix_len[0]), 0),
+        prompt_len=jnp.broadcast_to(prefix_len, (B,)),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.zeros((), bool),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    chunk_b = jnp.broadcast_to(chunk[None, :], (B, pc))
+    logits, cache = llama.forward(params, cfg, cache, chunk_b, ctx, None)
+    return logits[row], cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "spec", "budget"))
+def _decode_step(cfg: ModelConfig, spec: Optional[PolicySpec], budget: int,
+                 params, cache: KVCache, tokens, active, prompt_len, gen_count,
+                 rng):
+    """One decode step for all active rows; inactive rows are no-ops."""
+    B = tokens.shape[0]
+    tok_pos = prompt_len + gen_count
+    gate_b = active & (gen_count + 1 > budget) if spec is not None else jnp.zeros((B,), bool)
+    u = jax.random.uniform(rng, (B,))
+    if spec is not None and spec.policy == "random":
+        n_gen = jnp.minimum(gen_count + 1, budget + 1)
+        rand_rank = (u * n_gen.astype(jnp.float32)).astype(jnp.int32)
+    else:
+        rand_rank = jnp.zeros((B,), jnp.int32)
+    ctx = StepCtx(
+        q_pos=jnp.where(active, tok_pos, -1)[:, None],
+        token_valid=active[:, None],
+        counter_init=jnp.maximum(budget - gen_count, 0).astype(jnp.float32)[:, None],
+        next_pos=tok_pos + 1,
+        prompt_len=prompt_len,
+        evict_gate=gate_b,
+        update_gate=jnp.any(active),
+        rand_rank=rand_rank,
+    )
+    logits, cache = llama.forward(params, cfg, cache, tokens[:, None], ctx, spec)
+    return logits[:, -1, :], cache
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _clear_row(cache: KVCache, row):
+    """Recycle a slot: invalidate every slot of batch row `row`."""
+    B = cache.k.shape[1]
+    keep = (jnp.arange(B) != row)[None, :, None, None]
+    return cache._replace(pos=jnp.where(keep, cache.pos, -1))
+
+
+class ContinuousBatchEngine:
+    def __init__(
+        self,
+        model,
+        batch_slots: int = 4,
+        max_prompt: int = 512,
+        budget: int = 200,
+        kv_policy: str = "roco",
+        temperature: float = 1.0,
+        top_p: float = 1.0,
+        eos_token_ids: Tuple[int, ...] = (),
+        prefill_chunk: int = 128,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.cfg: ModelConfig = model.cfg
+        self.B = batch_slots
+        self.max_prompt = max_prompt
+        self.budget = budget
+        self.pc = min(prefill_chunk, max_prompt)
+        self.eos = tuple(eos_token_ids)
+        self.temperature = temperature
+        self.top_p = top_p
+        policy = canonical_policy(kv_policy)
+        rw = int(budget * 0.3)  # decode-phase quirk (reference easykv.py:308)
+        self.spec = None if policy == "full" else PolicySpec(
+            policy, PHASE_DECODE, 1, 4, rw,
+            feasible_k=max(budget - rw, 1), protect_prompt=True,
+        )
+        S = max_prompt + budget + 1
+        dtype = jnp.dtype(model.dtype)
+        self.cache = init_cache(
+            self.cfg.num_hidden_layers, self.B, self.cfg.num_key_value_heads,
+            S, self.cfg.head_dim, dtype,
+        )
+        self.rng = jax.random.PRNGKey(seed)
+        # host-side slot state
+        self.slots: List[Optional[Request]] = [None] * self.B
+        self.prompt_len = np.zeros(self.B, np.int32)
+        self.gen_count = np.zeros(self.B, np.int32)
+        self.next_token = np.zeros(self.B, np.int32)
+        self.probs = None  # (B, V) filtered distributions
+        self.pending: List[Request] = []
+        self.finished: Dict[int, Request] = {}
+
+    # ------------------------------------------------------------------
+    def submit(self, req: Request) -> None:
+        assert len(req.ids) <= self.max_prompt, "prompt exceeds engine max_prompt"
+        self.pending.append(req)
+
+    def _admit(self, slot: int, req: Request) -> None:
+        ids = np.asarray(req.ids, np.int32)
+        T = len(ids)
+        n_chunks = (T + self.pc - 1) // self.pc
+        ids_pad = np.zeros(n_chunks * self.pc, np.int32)
+        ids_pad[:T] = ids
+        prefix_len = jnp.asarray([T], jnp.int32)
+        last_logits = None
+        for c in range(n_chunks):
+            chunk = jnp.asarray(ids_pad[c * self.pc : (c + 1) * self.pc])
+            logits, self.cache = _prefill_chunk(
+                self.cfg, None, self.pc, self.model.params, self.cache,
+                chunk, jnp.int32(c * self.pc), prefix_len, jnp.int32(slot),
+            )
+            last_idx = T - 1 - c * self.pc
+            if 0 <= last_idx < self.pc:
+                last_logits = logits[last_idx]
+        probs, _ = logits_adapter(last_logits[None], self.temperature, self.top_p)
+        self.rng, sub = jax.random.split(self.rng)
+        tok = int(sample_token(sub, probs)[0])
+        self.slots[slot] = req
+        self.prompt_len[slot] = T
+        self.gen_count[slot] = 0
+        self.next_token[slot] = tok
+        req.out.append(tok)
+        if self.probs is None:
+            self.probs = np.zeros((self.B, self.cfg.vocab_size), np.float32)
+        self.probs[slot] = np.asarray(probs[0])
+
+    def _active_mask(self) -> np.ndarray:
+        return np.array([s is not None for s in self.slots])
+
+    def _finish(self, slot: int) -> None:
+        req = self.slots[slot]
+        req.done = True
+        self.finished[req.request_id] = req
+        self.slots[slot] = None
+        self.cache = _clear_row(self.cache, jnp.int32(slot))
+
+    def step(self) -> List[Tuple[int, int]]:
+        """Admit pending requests into free slots, then advance every active
+        slot by one token. Returns [(request_id, token), ...] emitted."""
+        for slot in range(self.B):
+            if self.slots[slot] is None and self.pending:
+                self._admit(slot, self.pending.pop(0))
+        active = self._active_mask()
+        if not active.any():
+            return []
+        # check EOS/max for tokens sampled last round BEFORE forwarding them
+        emitted: List[Tuple[int, int]] = []
+        for slot in range(self.B):
+            if self.slots[slot] is None:
+                continue
+            req = self.slots[slot]
+            tok = int(self.next_token[slot])
+            emitted.append((req.request_id, tok))
+            if (self.eos and tok in self.eos) or len(req.out) >= req.max_new_tokens:
+                self._finish(slot)
+        active = self._active_mask()
+        if not active.any():
+            return emitted
+        self.rng, sub = jax.random.split(self.rng)
+        logits, self.cache = _decode_step(
+            self.cfg, self.spec, self.budget, self.model.params, self.cache,
+            jnp.asarray(self.next_token), jnp.asarray(active),
+            jnp.asarray(self.prompt_len), jnp.asarray(self.gen_count), sub,
+        )
+        probs, _ = logits_adapter(logits, self.temperature, self.top_p)
+        self.rng, sub = jax.random.split(self.rng)
+        toks = np.asarray(sample_token(sub, probs))
+        for slot in range(self.B):
+            if self.slots[slot] is None:
+                continue
+            self.gen_count[slot] += 1
+            self.next_token[slot] = toks[slot]
+            self.slots[slot].out.append(int(toks[slot]))
+        return emitted
+
+    def run_all(self) -> Dict[int, List[int]]:
+        """Drain all pending/active requests."""
+        while self.pending or self._active_mask().any():
+            self.step()
+        return {rid: r.out for rid, r in self.finished.items()}

@@ -1,0 +1,42 @@
+"""Utilities + Orbax checkpoint round-trip."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from easykv_tpu.cache import init_cache
+from easykv_tpu.config import ModelConfig
+from easykv_tpu.models import llama
+from easykv_tpu.models.checkpoint import load_checkpoint, save_checkpoint
+from easykv_tpu.utils import cache_size_mb, step_timer
+
+
+def test_cache_size_mb():
+    cache = init_cache(2, 1, 2, 64, 16, jnp.float32)
+    # k+v: 2*2*1*2*64*16*4B; sidecars: 4 arrays of 2*1*2*64*4B
+    expect = (2 * 2 * 1 * 2 * 64 * 16 * 4 + 4 * 2 * 1 * 2 * 64 * 4) / 1024**2
+    assert abs(cache_size_mb(cache) - expect) < 1e-9
+
+
+def test_step_timer():
+    t = step_timer()
+    for _ in range(3):
+        with t:
+            pass
+    assert len(t.times) == 3 and t.mean >= 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, cfg, params)
+    cfg2, params2 = load_checkpoint(path)
+    assert cfg2 == cfg
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, params2,
+    )
