@@ -1,9 +1,10 @@
 """Headline benchmark: budget-constrained decode throughput vs full cache.
 
 Mirrors the BASELINE.json target ("LLaMa2-7B decoding at budget=200 ...
-sustaining >=90% of full-cache tokens/s/chip"): generates with the roco
-policy at an integer budget of 200 and with policy='full', and reports
-budgeted tokens/s plus the ratio to full-cache as vs_baseline.
+sustaining >=90% of full-cache tokens/s/chip"): LLaMa2-7B with int8 (w8a16)
+weights — bf16 7B does not fit a 16 GB v5e chip — decoding 384 tokens from a
+512-token prompt with the roco policy at budget=200 (so ~184 eviction events
+run in steady state) vs policy='full'.
 
 Prints exactly ONE JSON line to stdout; progress goes to stderr.
 On CPU (no TPU attached) a small config is used so the bench still runs.
@@ -21,6 +22,42 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def fake_int8_params(cfg):
+    """Deterministic int8 weights, built host-side (numpy, no multi-GB device
+    temporaries) and uploaded as int8 — peak device memory == final size.
+    Throughput is weight-independent."""
+    L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    V = cfg.vocab_size
+    pat = (np.arange(65536, dtype=np.int32) * 37 % 255 - 127).astype(np.int8)
+
+    def qlin(shape, seed):
+        n = int(np.prod(shape))
+        reps = n // pat.size + 2
+        q = np.tile(pat, reps)[seed : n + seed].reshape(shape)
+        scale_shape = shape[:-2] + (shape[-1],)
+        s = jnp.full(scale_shape, (shape[-2] ** -0.5) / 127.0, jnp.float32)
+        return {"q": jax.device_put(q), "s": s}
+
+    emb = np.tile(pat, V * D // pat.size + 1)[: V * D].reshape(V, D)
+    return {
+        "embed": jax.device_put(emb).astype(jnp.bfloat16) * (D ** -0.5) / 127.0,
+        "final_norm": jnp.ones((D,), jnp.bfloat16),
+        "lm_head": qlin((D, V), 3),
+        "layers": {
+            "wq": qlin((L, D, Hq * Dh), 5),
+            "wk": qlin((L, D, Hkv * Dh), 7),
+            "wv": qlin((L, D, Hkv * Dh), 11),
+            "wo": qlin((L, Hq * Dh, D), 13),
+            "wg": qlin((L, D, F), 17),
+            "wu": qlin((L, D, F), 19),
+            "wd": qlin((L, F, D), 23),
+            "ln_attn": jnp.ones((L, D), jnp.bfloat16),
+            "ln_mlp": jnp.ones((L, D), jnp.bfloat16),
+        },
+    }
+
+
 def main():
     from easykv_tpu import CausalLM, ModelConfig, generate
     from easykv_tpu.models import llama
@@ -30,34 +67,28 @@ def main():
     log(f"backend={platform} devices={jax.devices()}")
 
     if on_tpu:
-        # TinyLlama-1.1B architecture (random weights; throughput is
-        # weight-independent). LLaMa2-7B bf16 (13.5 GB) does not fit the
-        # 16 GB v5e chip alongside loop carries; int8 7B is future work.
         cfg = ModelConfig(
-            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
-            num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
-            max_position_embeddings=2048,
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+            max_position_embeddings=4096,
         )
-        dtype = jnp.bfloat16
-        # gen_tokens > budget so the eviction path actually runs in steady
-        # state (184 evictions/run); full-cache run generates the same count.
         prompt_len, gen_tokens, budget = 512, 384, 200
-        name = "tinyllama_1.1b"
+        name = "llama2_7b_int8"
+        t0 = time.time()
+        params = fake_int8_params(cfg)
+        jax.block_until_ready(params)
+        log(f"7B int8 params built in {time.time()-t0:.1f}s")
+        model = CausalLM(cfg, params, dtype="bfloat16")
     else:
         cfg = ModelConfig(
             vocab_size=1024, hidden_size=256, intermediate_size=688,
             num_hidden_layers=4, num_attention_heads=8, num_key_value_heads=8,
             max_position_embeddings=2048,
         )
-        dtype = jnp.float32
         prompt_len, gen_tokens, budget = 128, 64, 48
         name = "tiny_cpu"
-
-    t0 = time.time()
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
-    jax.block_until_ready(params)
-    log(f"params initialized in {time.time()-t0:.1f}s")
-    model = CausalLM(cfg, params, dtype=str(jnp.dtype(dtype)))
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        model = CausalLM(cfg, params, dtype="float32")
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, size=(prompt_len,))
@@ -68,11 +99,9 @@ def main():
             "max_new_tokens": gen_tokens, "temperature": 1.0, "top_p": 0.95,
             "eos_token_ids": [],
         }
-        # warm-up (compile)
         t0 = time.time()
         generate(model, ids, gc, kv_mode="decoding", stride=1)
         log(f"  {policy}: warm-up (compile+run) {time.time()-t0:.1f}s")
-        # timed
         t0 = time.time()
         generate(model, ids, gc, kv_mode="decoding", stride=1)
         dt = time.time() - t0
@@ -80,7 +109,7 @@ def main():
         log(f"  {policy}: {gen_tokens} tokens in {dt:.2f}s -> {tps:.2f} tok/s")
         return tps
 
-    log("benchmarking budgeted decode (roco, budget=%d)..." % budget)
+    log(f"benchmarking budgeted decode (roco, budget={budget})...")
     tps_budget = run("roco", budget)
     log("benchmarking full-cache decode...")
     tps_full = run("full", budget)

@@ -79,10 +79,20 @@ def params_from_hf_model(model: Any, dtype=jnp.float32) -> tuple[ModelConfig, Pa
 
 
 def load_hf_checkpoint(path: str, dtype=jnp.bfloat16) -> tuple[ModelConfig, Params]:
-    """Load from a local HF checkpoint directory (config.json + safetensors)."""
+    """Load from a local HF checkpoint directory (config.json + safetensors).
+
+    Prefers the native zero-copy mmap reader (native/safetensors_mmap.cc);
+    falls back to the Python safetensors library."""
     with open(os.path.join(path, "config.json")) as f:
         cfg = ModelConfig.from_hf_config(json.load(f))
-    from safetensors import safe_open  # lazy: optional dependency
+    try:
+        from ..native import load_safetensors_dir
+
+        sd, _files = load_safetensors_dir(path)
+        return cfg, params_from_hf_state_dict(cfg, sd, dtype=dtype)
+    except Exception:
+        pass
+    from safetensors import safe_open  # fallback
 
     sd: Dict[str, np.ndarray] = {}
     files = [f for f in os.listdir(path) if f.endswith(".safetensors")]

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from ..cache import KVCache, LayerCache, evict_slots, write_tokens
 from ..config import ModelConfig
 from ..ops.attention import attend
+from ..ops.quant import mm
 from ..ops.rope import apply_rope, rope_base_for, rope_inv_freq
 from ..policies import PolicySpec, bump_counters, select_evictions, update_scores
 
@@ -128,9 +129,9 @@ def forward(
         p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
-        q = (x @ p["wq"]).reshape(B, C, Hq, Dh).transpose(0, 2, 1, 3)
-        k = (x @ p["wk"]).reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = (x @ p["wv"]).reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = mm(x, p["wq"]).reshape(B, C, Hq, Dh).transpose(0, 2, 1, 3)
+        k = mm(x, p["wk"]).reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = mm(x, p["wv"]).reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
 
         if not streaming:
             # Non-streaming: keys stored post-RoPE at their true positions;
@@ -185,15 +186,17 @@ def forward(
             cl = jax.lax.cond(jnp.any(ctx.evict_gate), do_evict, lambda c: c, cl)
 
         attn_out = out.transpose(0, 2, 1, 3).reshape(B, C, Hq * Dh)
-        h = h + attn_out @ p["wo"]
+        h = h + mm(attn_out, p["wo"])
         x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
-        h = h + (jax.nn.silu(x2 @ p["wg"]) * (x2 @ p["wu"])) @ p["wd"]
+        h = h + mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
         return h, tuple(cl)
 
     h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    logits = (h @ head).astype(jnp.float32)
+    if cfg.tie_word_embeddings:
+        logits = (h @ params["embed"].T).astype(jnp.float32)
+    else:
+        logits = mm(h, params["lm_head"]).astype(jnp.float32)
     return logits, KVCache(*new_cache)
 
 

@@ -1,0 +1,55 @@
+"""Int8 weight quantization (w8a16): per-output-channel symmetric scales.
+
+Enables LLaMa2-7B on a single 16 GB v5e chip (bf16 weights alone are
+13.5 GB; int8 halves that) and halves the HBM traffic of the weight-bound
+decode loop. The int8->bf16 convert is fused into the matmul by XLA; the
+scale multiply is a fused epilogue.
+
+A quantized linear is a dict {"q": int8 (in, out), "s": f32 (out,)}; plain
+arrays pass through `mm` untouched, so the model code is layout-agnostic.
+"""
+from __future__ import annotations
+
+from typing import Any, Union
+
+import jax
+import jax.numpy as jnp
+
+QuantLinear = dict
+
+
+def quantize_linear(w: jax.Array, axis: int = -1) -> QuantLinear:
+    """Symmetric per-output-channel int8 quantization of (.., in, out)."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # reduce the `in` dim
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.squeeze(-2).astype(jnp.float32)}
+
+
+def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
+    """x @ w for a plain array or a quantized linear."""
+    if isinstance(w, dict):
+        y = jnp.matmul(x, w["q"].astype(x.dtype))
+        return y * w["s"].astype(x.dtype)
+    return x @ w
+
+
+def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array:
+    if isinstance(w, dict):
+        return (w["q"].astype(jnp.float32) * w["s"][..., None, :]).astype(dtype)
+    return w.astype(dtype)
+
+
+def quantize_params(params: Any) -> Any:
+    """Quantize every stacked linear of a llama param tree to int8; norms and
+    the embedding table stay in the original dtype (the embedding is read by
+    gather, not matmul, and norm scales are tiny)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
+        layers[name] = quantize_linear(layers[name])
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"] = quantize_linear(params["lm_head"])
+    return out

@@ -1,0 +1,110 @@
+"""Native mmap safetensors loader: parity with the Python safetensors
+library, zero-copy semantics, and error handling."""
+import os
+
+import numpy as np
+import pytest
+
+
+def _write_st(path, tensors):
+    from safetensors.numpy import save_file
+
+    save_file(tensors, path)
+
+
+@pytest.fixture(scope="module")
+def st_file(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    tensors = {
+        "model.layers.0.weight": rng.normal(size=(64, 32)).astype(np.float32),
+        "model.layers.0.bias": rng.normal(size=(64,)).astype(np.float32),
+        "emb": rng.integers(-127, 127, size=(16, 8)).astype(np.int8),
+        "h": rng.normal(size=(4, 4)).astype(np.float16),
+        "scalar3d": rng.normal(size=(2, 3, 5)).astype(np.float32),
+    }
+    path = str(tmp_path_factory.mktemp("st") / "test.safetensors")
+    _write_st(path, tensors)
+    return path, tensors
+
+
+def test_reads_match_reference_library(st_file):
+    from easykv_tpu.native import SafetensorsFile
+
+    path, tensors = st_file
+    with SafetensorsFile(path) as f:
+        names = set(f.keys())
+        assert names == set(tensors)
+        for name, expect in tensors.items():
+            got = f.tensor(name)
+            assert got.dtype == expect.dtype and got.shape == expect.shape
+            np.testing.assert_array_equal(got, expect)
+
+
+def test_bf16(tmp_path):
+    import ml_dtypes
+    from safetensors.numpy import save_file
+
+    from easykv_tpu.native import SafetensorsFile
+
+    w = np.arange(24, dtype=np.float32).reshape(4, 6).astype(ml_dtypes.bfloat16)
+    path = str(tmp_path / "bf16.safetensors")
+    save_file({"w": w}, path)
+    with SafetensorsFile(path) as f:
+        got = f.tensor("w")
+        assert got.dtype == np.dtype(ml_dtypes.bfloat16)
+        np.testing.assert_array_equal(got, w)
+
+
+def test_missing_tensor_and_bad_file(tmp_path, st_file):
+    from easykv_tpu.native import SafetensorsFile
+
+    path, _ = st_file
+    with SafetensorsFile(path) as f:
+        with pytest.raises(KeyError):
+            f.tensor("nope")
+    bad = tmp_path / "bad.safetensors"
+    bad.write_bytes(b"\x00")
+    with pytest.raises(OSError):
+        SafetensorsFile(str(bad))
+
+
+def test_load_dir_and_hf_params(tmp_path):
+    """End-to-end: write an HF-style checkpoint, load via the native reader,
+    convert to a param tree."""
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from easykv_tpu.config import ModelConfig
+    from easykv_tpu.models.hf import params_from_hf_state_dict
+    from easykv_tpu.native import load_safetensors_dir
+
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=2,
+    )
+    rng = np.random.default_rng(1)
+    sd = {}
+    D, F, V = 16, 32, 32
+    sd["model.embed_tokens.weight"] = rng.normal(size=(V, D)).astype(np.float32)
+    sd["model.norm.weight"] = np.ones(D, np.float32)
+    sd["lm_head.weight"] = rng.normal(size=(V, D)).astype(np.float32)
+    for i in range(2):
+        p = f"model.layers.{i}"
+        sd[f"{p}.self_attn.q_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+        sd[f"{p}.self_attn.k_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+        sd[f"{p}.self_attn.v_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+        sd[f"{p}.self_attn.o_proj.weight"] = rng.normal(size=(D, D)).astype(np.float32)
+        sd[f"{p}.mlp.gate_proj.weight"] = rng.normal(size=(F, D)).astype(np.float32)
+        sd[f"{p}.mlp.up_proj.weight"] = rng.normal(size=(F, D)).astype(np.float32)
+        sd[f"{p}.mlp.down_proj.weight"] = rng.normal(size=(D, F)).astype(np.float32)
+        sd[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+    save_file(sd, str(tmp_path / "model.safetensors"))
+
+    tensors, files = load_safetensors_dir(str(tmp_path))
+    params = params_from_hf_state_dict(cfg, tensors, dtype=jnp.float32)
+    assert params["layers"]["wq"].shape == (2, D, D)
+    np.testing.assert_allclose(
+        np.asarray(params["layers"]["wq"][0]),
+        sd["model.layers.0.self_attn.q_proj.weight"].T,
+    )
