@@ -38,11 +38,13 @@ INF = jnp.float32(3e38)
 class KVCache(NamedTuple):
     """Stacked over layers; scanned over axis 0 by the model.
 
-    k, v:      (L, B, H_kv, S, D)   compute dtype
+    k, v:      (L, B, H_kv, S, D)   compute dtype, or int8 (quantized KV)
     pos:       (L, B, H_kv, S) int32   original token position; -1 = invalid
     score:     (L, B, H_kv, S) f32     cumulative attention mass
     score_sq:  (L, B, H_kv, S) f32     cumulative squared attention mass
     counter:   (L, B, H_kv, S) f32     per-slot observation counter
+    k_scale:   (L, B, H_kv, S) f32     per-slot dequant scales (int8 KV);
+    v_scale:                           (L, B, H_kv, 1) dummies otherwise
     """
 
     k: jax.Array
@@ -51,6 +53,8 @@ class KVCache(NamedTuple):
     score: jax.Array
     score_sq: jax.Array
     counter: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def num_slots(self) -> int:
@@ -69,6 +73,12 @@ class LayerCache(NamedTuple):
     score: jax.Array      # (B, H, S)
     score_sq: jax.Array   # (B, H, S)
     counter: jax.Array    # (B, H, S)
+    k_scale: Optional[jax.Array] = None  # (B, H, S) f32 or (B, H, 1) dummy
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def quantized(self) -> bool:
+        return self.k.dtype == jnp.int8
 
     @property
     def valid(self) -> jax.Array:
@@ -87,16 +97,42 @@ def init_cache(
     num_slots: int,
     head_dim: int,
     dtype=jnp.bfloat16,
+    quantized: bool = False,
 ) -> KVCache:
+    """quantized=True stores K/V as int8 with per-slot dequant scales —
+    halves KV HBM traffic and capacity (the "compressed-KV" mode)."""
     shape = (num_layers, batch, num_kv_heads, num_slots)
+    kv_dtype = jnp.int8 if quantized else dtype
+    scale_shape = shape if quantized else shape[:-1] + (1,)
     return KVCache(
-        k=jnp.zeros(shape + (head_dim,), dtype=dtype),
-        v=jnp.zeros(shape + (head_dim,), dtype=dtype),
+        k=jnp.zeros(shape + (head_dim,), dtype=kv_dtype),
+        v=jnp.zeros(shape + (head_dim,), dtype=kv_dtype),
         pos=jnp.full(shape, -1, dtype=jnp.int32),
         score=jnp.zeros(shape, dtype=jnp.float32),
         score_sq=jnp.zeros(shape, dtype=jnp.float32),
         counter=jnp.zeros(shape, dtype=jnp.float32),
+        k_scale=jnp.zeros(scale_shape, dtype=jnp.float32),
+        v_scale=jnp.zeros(scale_shape, dtype=jnp.float32),
     )
+
+
+def quantize_kv(x: jax.Array):
+    """Per-(slot) symmetric int8 quantization over the head dim.
+    x: (B, H, C, D) -> (int8 (B, H, C, D), scale f32 (B, H, C))."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def kv_dequant(cache: LayerCache, dtype):
+    """(k, v) in compute dtype, dequantizing if the cache is int8."""
+    if cache.quantized:
+        k = cache.k.astype(dtype) * cache.k_scale[..., None].astype(dtype)
+        v = cache.v.astype(dtype) * cache.v_scale[..., None].astype(dtype)
+        return k, v
+    return cache.k, cache.v
 
 
 def free_slot_ids(pos: jax.Array, count: int) -> jax.Array:
@@ -137,12 +173,21 @@ def write_tokens(
     b_ix = jnp.arange(B)[:, None, None]
     h_ix = jnp.arange(H)[None, :, None]
 
+    if cache.quantized:
+        new_k, k_sc = quantize_kv(new_k)
+        new_v, v_sc = quantize_kv(new_v)
+    else:
+        new_k = new_k.astype(cache.k.dtype)
+        new_v = new_v.astype(cache.v.dtype)
+
     if token_valid is None:
         pos_write = jnp.broadcast_to(new_pos[:, None, :], (B, H, C))
         cnt_write = jnp.broadcast_to(counter_init[:, None, :], (B, H, C))
         k_write, v_write = new_k, new_v
         zeros = jnp.zeros((B, H, C), jnp.float32)
         score_write = score_sq_write = zeros
+        if cache.quantized:
+            k_sc_write, v_sc_write = k_sc, v_sc
     else:
         # Masked (padding) entries must leave the slot untouched — a batch row
         # may have fewer free slots than C (e.g. an active serving slot during
@@ -158,7 +203,14 @@ def write_tokens(
         tvf = tv.astype(jnp.float32)
         score_write = (1.0 - tvf) * cur(cache.score)
         score_sq_write = (1.0 - tvf) * cur(cache.score_sq)
+        if cache.quantized:
+            k_sc_write = jnp.where(tv, k_sc, cur(cache.k_scale))
+            v_sc_write = jnp.where(tv, v_sc, cur(cache.v_scale))
 
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        k_scale = k_scale.at[b_ix, h_ix, ids].set(k_sc_write)
+        v_scale = v_scale.at[b_ix, h_ix, ids].set(v_sc_write)
     return LayerCache(
         k=cache.k.at[b_ix, h_ix, ids].set(k_write),
         v=cache.v.at[b_ix, h_ix, ids].set(v_write),
@@ -166,6 +218,8 @@ def write_tokens(
         score=cache.score.at[b_ix, h_ix, ids].set(score_write),
         score_sq=cache.score_sq.at[b_ix, h_ix, ids].set(score_sq_write),
         counter=cache.counter.at[b_ix, h_ix, ids].set(cnt_write),
+        k_scale=k_scale,
+        v_scale=v_scale,
     )
 
 

@@ -110,6 +110,7 @@ class EngineStatics:
     keep_attention: bool = False
     streaming: bool = False
     dtype: str = "float32"
+    kv_quant: bool = False  # int8 compressed-KV cache
 
     @property
     def jdtype(self):
@@ -419,7 +420,7 @@ def _run_decoding(st: EngineStatics, params, ids_pad, prompt_len, temperature, t
     S = st.length + gen_slots
     cache = init_cache(
         st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype,
+        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
     )
     cache, last_logits = _prefill(st, params, cache, ids_pad, prompt_len, None, "zero")
     first_probs, _ = logits_adapter(last_logits, temperature, top_p)
@@ -440,7 +441,7 @@ def _run_encoding(st: EngineStatics, params, input_ids, temperature, top_p, seed
     S = st.idx + st.stride + st.max_new_tokens
     cache = init_cache(
         st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype,
+        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
     )
     spec = st.encode_spec()
     prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
@@ -469,7 +470,7 @@ def _run_encdec(st: EngineStatics, params, input_ids, temperature, top_p, seed):
     S = st.idx + st.stride
     cache = init_cache(
         st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype,
+        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
     )
     enc_spec = st.encode_spec()
     prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
@@ -497,7 +498,7 @@ def _run_ppl(st: EngineStatics, params, input_ids, seed):
     S = st.idx + st.stride
     cache = init_cache(
         st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype,
+        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
     )
     spec = st.encode_spec()
     prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
@@ -522,7 +523,7 @@ def _run_ppl_full(st: EngineStatics, params, input_ids):
     ids = jnp.pad(input_ids, ((0, 0), (0, L_pad - L)))
     cache = init_cache(
         st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, L_pad,
-        st.cfg.head_dim, dtype=st.jdtype,
+        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
     )
     true_len = jnp.full((B,), L, jnp.int32)
 
@@ -580,11 +581,13 @@ def _run_ppl_full(st: EngineStatics, params, input_ids):
 class CausalLM:
     """Model wrapper binding config + params (+ optional tokenizer/mesh)."""
 
-    def __init__(self, cfg: ModelConfig, params, tokenizer=None, dtype="float32"):
+    def __init__(self, cfg: ModelConfig, params, tokenizer=None, dtype="float32",
+                 kv_quant: bool = False):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = str(jnp.dtype(dtype))
+        self.kv_quant = kv_quant  # int8 compressed-KV cache
 
     # bound by enable_fixed_kv:
     easykv_generate = None
@@ -659,6 +662,7 @@ def generate(
         eos_token_ids=tuple(eos), temp_length=gc.temp_length,
         keep_attention=gc.keep_attention, streaming=gc.streaming,
         dtype=model.dtype, max_new_tokens=gc.max_new_tokens,
+        kv_quant=getattr(model, "kv_quant", False),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

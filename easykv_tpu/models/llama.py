@@ -22,7 +22,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache import KVCache, LayerCache, evict_slots, write_tokens
+from ..cache import KVCache, LayerCache, evict_slots, kv_dequant, write_tokens
 from ..config import ModelConfig
 from ..ops.attention import attend
 from ..ops.quant import mm
@@ -146,8 +146,9 @@ def forward(
             # StreamingLLM-style cache-relative positions: keys are cached
             # pre-RoPE and rotated by their *age rank* at attend time
             # (reference llama_patch.py:251-379, apply_rotary_pos_emb_sep).
+            k_raw, v_raw = kv_dequant(cl, h.dtype)
             ranks = _age_ranks(cl.pos)                        # (B, Hkv, S)
-            k_att = apply_rope(cl.k, ranks, inv_freq)
+            k_att = apply_rope(k_raw, ranks, inv_freq)
             n_valid = jnp.sum((cl.pos >= 0)[:, 0, :], axis=-1)  # (B,)
             q_off = jnp.cumsum(ctx.token_valid.astype(jnp.int32), axis=-1) - 1
             q_rel = n_valid[:, None] - jnp.sum(
@@ -155,20 +156,23 @@ def forward(
             ) + q_off
             q_att = apply_rope(q, q_rel[:, None, :], inv_freq)
             out, probs_kv = attend(
-                q_att, k_att, cl.v, cl.pos, ctx.q_pos,
+                q_att, k_att, v_raw, cl.pos, ctx.q_pos,
                 sliding_window=cfg.sliding_window, scale=scale,
             )
         elif C == 1 and cfg.sliding_window is None and _pallas_enabled():
-            # Fused decode path: one HBM pass over K/V, probs emitted on-chip
-            # (ops/pallas/decode_attention.py).
+            # Fused decode path: one HBM pass over K/V (int8 if the cache is
+            # quantized), probs emitted on-chip (ops/pallas/decode_attention).
             from ..ops.pallas import fused_decode_attend
 
             out, probs_kv = fused_decode_attend(
-                q, cl.k, cl.v, cl.pos, ctx.q_pos[:, 0]
+                q, cl.k, cl.v, cl.pos, ctx.q_pos[:, 0],
+                k_scale=cl.k_scale if cl.quantized else None,
+                v_scale=cl.v_scale if cl.quantized else None,
             )
         else:
+            k_raw, v_raw = kv_dequant(cl, h.dtype)
             out, probs_kv = attend(
-                q, cl.k, cl.v, cl.pos, ctx.q_pos,
+                q, k_raw, v_raw, cl.pos, ctx.q_pos,
                 sliding_window=cfg.sliding_window, scale=scale,
             )
 

@@ -9,13 +9,18 @@ the fp32 softmax, the GQA group mean for KV-head-granular scores
 (reference process_for_mqa_gqa, easykv.py:188-196), and the attention
 output all happen on-chip.
 
+Quantized (int8) KV is supported natively: K/V stream from HBM as int8
+(half the bytes) and the per-slot dequant scales fold into the attention
+logits (k_scale) and the probability matrix (v_scale) — no dequantized
+copy is ever materialized.
+
 Grid: (B, Hkv). Per program: q (rep, D), K/V (S, D), pos (1, S) in VMEM.
-VMEM footprint ~ 2*S*D*2B; S up to ~16K fits comfortably at D=128.
+VMEM footprint ~ 2*S*D*(1|2)B; S up to ~16K fits comfortably at D=128.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +30,11 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30  # plain float: jnp constants would be captured as kernel consts
 
 
-def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, out_ref, probs_ref, *, scale):
+def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
+    if quant:
+        ksc_ref, vsc_ref, out_ref, probs_ref = rest
+    else:
+        out_ref, probs_ref = rest
     b = pl.program_id(0)
     q = q_ref[0, 0].astype(jnp.float32)          # (rep, D)
     k = k_ref[0, 0].astype(jnp.float32)          # (S, D)
@@ -37,6 +46,8 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, out_ref, probs_ref, *, scale
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                     # (rep, S)
+    if quant:
+        logits = logits * ksc_ref[0, 0]           # fold k dequant into logits
     mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
     logits = jnp.where(mask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
@@ -45,8 +56,10 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, out_ref, probs_ref, *, scale
     denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
     p = e / denom                                 # (rep, S) f32
 
+    pv = p * vsc_ref[0, 0] if quant else p        # fold v dequant into probs
     out = jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        pv, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                             # (rep, D)
     out_ref[0, 0] = out.astype(out_ref.dtype)
@@ -56,10 +69,12 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, out_ref, probs_ref, *, scale
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_decode_attend(
     q: jax.Array,       # (B, Hq, 1, D)
-    k: jax.Array,       # (B, Hkv, S, D)
+    k: jax.Array,       # (B, Hkv, S, D) compute dtype or int8
     v: jax.Array,       # (B, Hkv, S, D)
     kv_pos: jax.Array,  # (B, Hkv, S) int32
     q_pos: jax.Array,   # (B,) int32
+    k_scale: Optional[jax.Array] = None,  # (B, Hkv, S) f32 when int8
+    v_scale: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out (B, Hq, 1, D), probs_kv (B, Hkv, 1, S) float32) —
@@ -69,6 +84,7 @@ def fused_decode_attend(
     Hkv, S = k.shape[1], k.shape[2]
     rep = Hq // Hkv
     scale = D ** -0.5
+    quant = k_scale is not None
 
     S_pad = ((S + 127) // 128) * 128
     if S_pad != S:
@@ -77,32 +93,36 @@ def fused_decode_attend(
         v = jnp.pad(v, pad)
         kv_pos = jnp.pad(kv_pos, [(0, 0), (0, 0), (0, S_pad - S)],
                          constant_values=-1)
+        if quant:
+            k_scale = jnp.pad(k_scale, [(0, 0), (0, 0), (0, S_pad - S)])
+            v_scale = jnp.pad(v_scale, [(0, 0), (0, 0), (0, S_pad - S)])
 
     qg = q.reshape(B, Hkv, rep, D)
     pos4 = kv_pos[:, :, None, :]  # (B, Hkv, 1, S_pad)
 
+    def spec4(shape):
+        return pl.BlockSpec(shape, lambda b, h, qp: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec4((1, 1, rep, D)),
+        spec4((1, 1, S_pad, D)),
+        spec4((1, 1, S_pad, D)),
+        spec4((1, 1, 1, S_pad)),
+    ]
+    inputs = [qg, k, v, pos4]
+    if quant:
+        in_specs += [spec4((1, 1, 1, S_pad)), spec4((1, 1, 1, S_pad))]
+        inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, Hkv),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, D), lambda b, h, qp: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S_pad, D), lambda b, h, qp: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S_pad, D), lambda b, h, qp: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, qp: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 1, rep, D), lambda b, h, qp: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, S_pad), lambda b, h, qp: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[spec4((1, 1, rep, D)), spec4((1, 1, 1, S_pad))],
     )
     out, probs = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel, scale=scale, quant=quant),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
@@ -114,7 +134,7 @@ def fused_decode_attend(
             transcendentals=B * Hkv * rep * S_pad,
         ),
         interpret=interpret,
-    )(q_pos, qg, k, v, pos4)
+    )(q_pos, *inputs)
 
     out = out.reshape(B, Hq, 1, D)
     return out, probs[:, :, :, :S]

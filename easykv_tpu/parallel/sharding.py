@@ -48,6 +48,8 @@ def cache_pspecs(mc: MeshConfig) -> KVCache:
         score=P(None, d, m, None),
         score_sq=P(None, d, m, None),
         counter=P(None, d, m, None),
+        k_scale=P(None, d, m, None),
+        v_scale=P(None, d, m, None),
     )
 
 

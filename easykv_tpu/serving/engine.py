@@ -135,6 +135,7 @@ class ContinuousBatchEngine:
         self.cache = init_cache(
             self.cfg.num_hidden_layers, self.B, self.cfg.num_key_value_heads,
             S, self.cfg.head_dim, dtype,
+            quantized=getattr(model, "kv_quant", False),
         )
         self.rng = jax.random.PRNGKey(seed)
         # host-side slot state

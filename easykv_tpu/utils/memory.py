@@ -12,7 +12,7 @@ from ..cache import KVCache
 def cache_size_mb(cache: KVCache) -> float:
     """Total bytes of the KV cache + sidecars in MB (reference cache_size,
     easykv.py:10-18 counts fp16 K/V only; we count everything we allocate)."""
-    total = sum(leaf.size * leaf.dtype.itemsize for leaf in cache)
+    total = sum(leaf.size * leaf.dtype.itemsize for leaf in cache if leaf is not None)
     return total / (1024**2)
 
 

@@ -13,8 +13,9 @@ from easykv_tpu.utils import cache_size_mb, step_timer
 
 def test_cache_size_mb():
     cache = init_cache(2, 1, 2, 64, 16, jnp.float32)
-    # k+v: 2*2*1*2*64*16*4B; sidecars: 4 arrays of 2*1*2*64*4B
-    expect = (2 * 2 * 1 * 2 * 64 * 16 * 4 + 4 * 2 * 1 * 2 * 64 * 4) / 1024**2
+    # k+v; 4 full sidecars; 2 dummy (B,H,1) scale arrays
+    expect = (2 * 2 * 1 * 2 * 64 * 16 * 4 + 4 * 2 * 1 * 2 * 64 * 4
+              + 2 * 2 * 1 * 2 * 1 * 4) / 1024**2
     assert abs(cache_size_mb(cache) - expect) < 1e-9
 
 
