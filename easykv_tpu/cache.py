@@ -245,6 +245,36 @@ def evict_slots(
     return cache._replace(pos=cache.pos.at[b_ix, h_ix, evict_ids].set(new_vals))
 
 
+def evict_slots_merged(
+    cache: LayerCache, evict_ids: jax.Array, gate: Optional[jax.Array] = None
+) -> LayerCache:
+    """Evict-with-merge: replace the evicted slots by a single slot holding
+    their mean K/V (the reference's unused truncate_kv_cache_liso_mean,
+    easykv.py:84-102). The merged vector lands in the first evicted slot
+    (keeping its position id); the remaining k-1 slots are invalidated.
+
+    Only supported for unquantized caches."""
+    assert not cache.quantized, "merged eviction requires an fp cache"
+    B, H, kk = evict_ids.shape
+    b_ix = jnp.arange(B)[:, None, None]
+    h_ix = jnp.arange(H)[None, :, None]
+    k_ev = jnp.take_along_axis(cache.k, evict_ids[..., None], axis=2)  # (B,H,k,D)
+    v_ev = jnp.take_along_axis(cache.v, evict_ids[..., None], axis=2)
+    k_mean = jnp.mean(k_ev.astype(jnp.float32), axis=2).astype(cache.k.dtype)
+    v_mean = jnp.mean(v_ev.astype(jnp.float32), axis=2).astype(cache.v.dtype)
+    # invalidate all evicted slots, then revive the first with the mean
+    out = evict_slots(cache, evict_ids, gate)
+    first = evict_ids[:, :, :1]
+    pos_first = jnp.take_along_axis(cache.pos, first, axis=-1)
+    if gate is not None:
+        pos_first = jnp.where(gate[:, None, None], pos_first, -1)
+    return out._replace(
+        k=out.k.at[b_ix, h_ix, first].set(k_mean[:, :, None]),
+        v=out.v.at[b_ix, h_ix, first].set(v_mean[:, :, None]),
+        pos=out.pos.at[b_ix, h_ix, first].set(pos_first),
+    )
+
+
 def stack_layer(cache_layers: LayerCache) -> KVCache:
     """LayerCache whose arrays already carry a leading L axis -> KVCache."""
     return KVCache(*cache_layers)

@@ -62,3 +62,28 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.A
     x2 = x[..., d2:].astype(jnp.float32)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
     return out.astype(x.dtype)
+
+
+# --- Experimental RoPE variants -------------------------------------------
+# Parity stubs for the reference's unused Self-Extend-style experiments
+# (reference llama_patch.py:31-44, 101-122) — grouped, neighbor and identical
+# rotary application. Not used by any engine mode.
+
+
+def apply_grouped_rope(
+    x: jax.Array, positions: jax.Array, inv_freq: jax.Array, group_size: int
+) -> jax.Array:
+    """Self-Extend grouped positions: rotate by positions // group_size."""
+    return apply_rope(x, positions // group_size, inv_freq)
+
+
+def apply_neighbor_rope(
+    x: jax.Array, positions: jax.Array, inv_freq: jax.Array, window: int
+) -> jax.Array:
+    """Clamp relative distance: rotate by min(position, window)."""
+    return apply_rope(x, jnp.minimum(positions, window), inv_freq)
+
+
+def apply_identical_rope(x: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """Rotate every element by position 0 (i.e. no rotation)."""
+    return apply_rope(x, jnp.zeros(x.shape[:-1], jnp.int32), inv_freq)
