@@ -49,7 +49,7 @@ from ..policies import (
     PHASE_ENCODE,
     PolicySpec,
 )
-from ..sampling import logits_adapter, sample_token
+from ..sampling import logits_adapter, sample_from_logits, sample_token
 
 PREFILL_CHUNK = 128
 
@@ -328,7 +328,7 @@ def _decode_loop(
     st: EngineStatics,
     params,
     cache: KVCache,
-    first_probs: jax.Array,   # (B, V) filtered distribution for token 1
+    first_logits: jax.Array,  # (B, V) logits producing token 1
     start_pos: jax.Array,     # (B,) position of the first generated token
     prompt_len: jax.Array,    # (B,)
     kv_len0: jax.Array,       # (B,)
@@ -338,7 +338,7 @@ def _decode_loop(
     top_p: jax.Array,
     evict_mode: str,          # 'none' | 'budget' | 'always'
 ) -> DecodeResult:
-    B = first_probs.shape[0]
+    B = first_logits.shape[0]
     M = st.max_new_tokens
 
     def cond(carry):
@@ -346,9 +346,9 @@ def _decode_loop(
         return (n < M) & ~jnp.all(done)
 
     def body(carry):
-        cache, probs, key, n, done, out, g, kv_len = carry
+        cache, lastlog, key, n, done, out, g, kv_len = carry
         key, sub = jax.random.split(key)
-        token = sample_token(sub, probs)                       # (B,)
+        token = sample_from_logits(sub, lastlog, temperature, top_p)  # (B,)
         out = out.at[:, n].set(jnp.where(done, -1, token))
         newly_done = done | _isin_eos(token, st.eos_token_ids)
         n = n + 1
@@ -390,20 +390,19 @@ def _decode_loop(
         logits, cache = llama.forward(
             params, st.cfg, cache, token[:, None], ctx, spec, streaming=st.streaming
         )
-        new_filtered, _ = logits_adapter(logits[:, -1, :], temperature, top_p)
-        probs = jnp.where(newly_done[:, None], probs, new_filtered)
+        lastlog = jnp.where(newly_done[:, None], lastlog, logits[:, -1, :])
         g = g + live.astype(jnp.int32)
         k_evict = spec.k if spec is not None else 0
         kv_len = kv_len + live.astype(jnp.int32) - jnp.where(gate_b, k_evict, 0)
-        return cache, probs, key, n, newly_done, out, g, kv_len
+        return cache, lastlog, key, n, newly_done, out, g, kv_len
 
     out0 = jnp.full((B, M), -1, jnp.int32)
     key0 = jax.random.fold_in(seed, 7919)
     carry = (
-        cache, first_probs, key0, jnp.int32(0), jnp.zeros((B,), bool),
+        cache, first_logits, key0, jnp.int32(0), jnp.zeros((B,), bool),
         out0, jnp.zeros((B,), jnp.int32), kv_len0,
     )
-    cache, probs, key, n, done, out, g, kv_len = jax.lax.while_loop(cond, body, carry)
+    cache, _, key, n, done, out, g, kv_len = jax.lax.while_loop(cond, body, carry)
     emitted = jnp.sum((out >= 0).astype(jnp.int32), axis=-1)
     return DecodeResult(out, emitted, kv_len)
 
@@ -423,10 +422,9 @@ def _run_decoding(st: EngineStatics, params, ids_pad, prompt_len, temperature, t
         st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
     )
     cache, last_logits = _prefill(st, params, cache, ids_pad, prompt_len, None, "zero")
-    first_probs, _ = logits_adapter(last_logits, temperature, top_p)
     spec = st.decode_spec()
     res = _decode_loop(
-        st, params, cache, first_probs, prompt_len, prompt_len, prompt_len,
+        st, params, cache, last_logits, prompt_len, prompt_len, prompt_len,
         spec, seed, temperature, top_p,
         "none" if st.policy == "full" else "budget",
     )
@@ -453,10 +451,9 @@ def _run_encoding(st: EngineStatics, params, input_ids, temperature, top_p, seed
         st, params, cache, input_ids, spec, seed, collect_ppl=False,
         last_logits0=last_logits,
     )
-    first_probs, _ = logits_adapter(last_logits, temperature, top_p)
     length = jnp.full((B,), st.length, jnp.int32)
     res = _decode_loop(
-        st, params, cache, first_probs, length, length, kv_len,
+        st, params, cache, last_logits, length, length, kv_len,
         None, seed, temperature, top_p, "none",
     )
     return res, kv_len
@@ -482,10 +479,9 @@ def _run_encdec(st: EngineStatics, params, input_ids, temperature, top_p, seed):
         st, params, cache, input_ids, enc_spec, seed, collect_ppl=False,
         last_logits0=last_logits,
     )
-    first_probs, _ = logits_adapter(last_logits, temperature, top_p)
     length = jnp.full((B,), st.length, jnp.int32)
     res = _decode_loop(
-        st, params, cache, first_probs, length, length, kv_len,
+        st, params, cache, last_logits, length, length, kv_len,
         st.encdec_decode_spec(), seed, temperature, top_p, "always",
     )
     return res

@@ -154,14 +154,18 @@ def select_evictions(
         force_val = STD_FORCE + pos.astype(jnp.float32) * 1024.0
         std = jnp.where(forced, force_val, std)
         std = jnp.where(base, std, STD_EXCLUDE)
-        feasible_ids, _ = _smallest_k(std, jnp.ones_like(base), spec.feasible_k)
+        # Feasible set = spec.feasible_k smallest stds. Rather than gathering
+        # the set and running a second top_k (reference easykv.py:322-323),
+        # take the k-th smallest std as a threshold and mask — equivalent
+        # because the force encoding keeps stds distinct, and cheaper on TPU.
+        neg_vals, _ = jax.lax.top_k(-std, spec.feasible_k)
+        thresh = -neg_vals[..., -1:]
+        feasible = std <= thresh
         # Stage 2: lowest time-averaged score within the feasible set
         # (easykv.py:323, :475, :723).
-        f_score = jnp.take_along_axis(cache.score, feasible_ids, axis=-1)
-        f_counter = jnp.take_along_axis(counter, feasible_ids, axis=-1)
-        f_avg = f_score / f_counter
-        _, inner = jax.lax.top_k(-f_avg, spec.k)
-        return jnp.take_along_axis(feasible_ids, inner.astype(jnp.int32), axis=-1)
+        avg = cache.score / counter
+        ids, _ = _smallest_k(avg, feasible, spec.k)
+        return ids
 
     if spec.policy == "recency":
         if spec.phase == PHASE_DECODE:

@@ -42,3 +42,57 @@ def sample_token(key: jax.Array, filtered_probs: jax.Array) -> jax.Array:
     logp = jnp.log(jnp.maximum(filtered_probs, jnp.float32(1e-37)))
     logp = jnp.where(filtered_probs > 0, logp, -jnp.inf)
     return jax.random.categorical(key, logp, axis=-1).astype(jnp.int32)
+
+
+NUCLEUS_TOPK = 512  # fast-path width; falls back to the exact full sort
+
+
+def sample_from_logits(
+    key: jax.Array, logits: jax.Array, temperature: jax.Array, top_p: jax.Array
+) -> jax.Array:
+    """Nucleus sampling without the per-step full-vocab sort.
+
+    Semantics match logits_adapter + sample_token exactly: the common case
+    (nucleus inside the top-NUCLEUS_TOPK logits) runs a cheap top_k; when the
+    nucleus is wider — or top_p >= 1 — it falls back to the unfiltered
+    categorical / full sort. logits: (B, V) -> (B,) int32."""
+    logits = logits.astype(jnp.float32)
+    B, V = logits.shape
+    temp = jnp.maximum(jnp.float32(temperature), jnp.float32(1e-10))
+    scaled = logits / temp
+
+    K = min(NUCLEUS_TOPK, V)
+    top_logits, top_idx = jax.lax.top_k(scaled, K)          # (B, K) desc
+    top_prob = jax.nn.softmax(top_logits, axis=-1)
+    # mass of the top-K relative to the full distribution
+    lse_top = jax.nn.logsumexp(top_logits, axis=-1)
+    lse_all = jax.nn.logsumexp(scaled, axis=-1)
+    mass = jnp.exp(lse_top - lse_all)                       # (B,)
+    p_full = top_prob * mass[:, None]                       # true probabilities
+    cumsum = jnp.cumsum(p_full, axis=-1)
+    keep = (cumsum - p_full) <= top_p                       # reference boundary
+    # fast path valid iff the last kept token is inside the top-K strictly
+    # (the K-th entry dropped => nucleus fully contained)
+    inside = ~keep[:, -1] | (mass >= 1.0 - 1e-7)
+
+    def fast(key):
+        p = jnp.where(keep, p_full, 0.0)
+        logp = jnp.where(p > 0, jnp.log(jnp.maximum(p, 1e-37)), -jnp.inf)
+        choice = jax.random.categorical(key, logp, axis=-1)
+        return jnp.take_along_axis(top_idx, choice[:, None], axis=-1)[:, 0]
+
+    def slow(key):
+        filtered, _ = logits_adapter(logits, temperature, top_p)
+        return sample_token(key, filtered)
+
+    full_nucleus = top_p >= jnp.float32(1.0)
+
+    def unfiltered(key):
+        return jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+
+    return jax.lax.cond(
+        full_nucleus,
+        unfiltered,
+        lambda k: jax.lax.cond(jnp.all(inside), fast, slow, k).astype(jnp.int32),
+        key,
+    ).astype(jnp.int32)
