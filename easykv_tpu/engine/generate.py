@@ -348,7 +348,11 @@ def _decode_loop(
     def body(carry):
         cache, lastlog, key, n, done, out, g, kv_len = carry
         key, sub = jax.random.split(key)
-        token = sample_from_logits(sub, lastlog, temperature, top_p)  # (B,)
+        # Full-sort nucleus sampling: the TPU bitonic sort over 32K vocab is
+        # ~33us — benchmarked FASTER in-loop than a top-k fast path with
+        # lax.cond fallback (229.5 vs 216.5 tok/s at 1.1B).
+        probs, _ = logits_adapter(lastlog, temperature, top_p)
+        token = sample_token(sub, probs)
         out = out.at[:, n].set(jnp.where(done, -1, token))
         newly_done = done | _isin_eos(token, st.eos_token_ids)
         n = n + 1

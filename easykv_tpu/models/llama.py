@@ -50,7 +50,10 @@ def _pallas_enabled() -> bool:
         return env not in ("0", "false", "off")
     import jax
 
-    return jax.default_backend() == "tpu"
+    # Single-chip TPU only by default: pallas_call is not auto-partitionable
+    # by GSPMD, so multi-device meshes take the (partitionable) XLA path
+    # until the kernel is wrapped in shard_map.
+    return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 
 class StepCtx(NamedTuple):

@@ -55,7 +55,12 @@ def sample_from_logits(
     Semantics match logits_adapter + sample_token exactly: the common case
     (nucleus inside the top-NUCLEUS_TOPK logits) runs a cheap top_k; when the
     nucleus is wider — or top_p >= 1 — it falls back to the unfiltered
-    categorical / full sort. logits: (B, V) -> (B,) int32."""
+    categorical / full sort. logits: (B, V) -> (B,) int32.
+
+    Note: benchmarked on v5e, the plain full-sort adapter is actually faster
+    inside a jitted decode loop (the lax.cond machinery costs more than the
+    ~33us bitonic sort), so the engine uses logits_adapter; this remains for
+    host-driven callers and very large vocabularies."""
     logits = logits.astype(jnp.float32)
     B, V = logits.shape
     temp = jnp.maximum(jnp.float32(temperature), jnp.float32(1e-10))

@@ -27,7 +27,7 @@ from ..config import GenerationConfig, ModelConfig, canonical_policy
 from ..models import llama
 from ..models.llama import StepCtx
 from ..policies import PHASE_DECODE, PolicySpec
-from ..sampling import logits_adapter, sample_token
+from ..sampling import logits_adapter, sample_from_logits, sample_token
 
 
 @dataclasses.dataclass
@@ -143,7 +143,6 @@ class ContinuousBatchEngine:
         self.prompt_len = np.zeros(self.B, np.int32)
         self.gen_count = np.zeros(self.B, np.int32)
         self.next_token = np.zeros(self.B, np.int32)
-        self.probs = None  # (B, V) filtered distributions
         self.pending: List[Request] = []
         self.finished: Dict[int, Request] = {}
 
@@ -177,9 +176,6 @@ class ContinuousBatchEngine:
         self.gen_count[slot] = 0
         self.next_token[slot] = tok
         req.out.append(tok)
-        if self.probs is None:
-            self.probs = np.zeros((self.B, self.cfg.vocab_size), np.float32)
-        self.probs[slot] = np.asarray(probs[0])
 
     def _active_mask(self) -> np.ndarray:
         return np.array([s is not None for s in self.slots])
