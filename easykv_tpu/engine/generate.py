@@ -48,6 +48,7 @@ from ..policies import (
     PHASE_ENCDEC_DECODE,
     PHASE_ENCODE,
     PolicySpec,
+    evict_cache,
 )
 from ..sampling import logits_adapter, sample_from_logits, sample_token
 
@@ -287,6 +288,9 @@ def _strided_encode(
         logits, cache = llama.forward(
             params, st.cfg, cache, chunk, ctx, spec, streaming=st.streaming
         )
+        if evicting:
+            cache = evict_cache(cache, spec, ctx.next_pos,
+                                jnp.zeros((B,), jnp.int32), rand_rank, trigger)
         kv_len = kv_after - jnp.where(ctx.evict_gate, stride, 0)
 
         if collect_ppl:
@@ -394,6 +398,9 @@ def _decode_loop(
         logits, cache = llama.forward(
             params, st.cfg, cache, token[:, None], ctx, spec, streaming=st.streaming
         )
+        if spec is not None and spec.policy != "full":
+            cache = evict_cache(cache, spec, ctx.next_pos, prompt_len,
+                                rand_rank, gate_b)
         lastlog = jnp.where(newly_done[:, None], lastlog, logits[:, -1, :])
         g = g + live.astype(jnp.int32)
         k_evict = spec.k if spec is not None else 0

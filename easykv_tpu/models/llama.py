@@ -27,7 +27,7 @@ from ..config import ModelConfig
 from ..ops.attention import attend
 from ..ops.quant import mm
 from ..ops.rope import apply_rope, rope_base_for, rope_inv_freq
-from ..policies import PolicySpec, bump_counters, select_evictions, update_scores
+from ..policies import PolicySpec, update_scores
 
 Params = Dict[str, Any]
 
@@ -181,16 +181,9 @@ def forward(
 
         if spec is not None and (bootstrap or spec.policy not in ("full",)):
             cl = update_scores(cl, probs_kv, spec, ctx.update_gate, bootstrap=bootstrap)
-        if spec is not None and not bootstrap and spec.policy not in ("full", None):
-
-            def do_evict(c: LayerCache) -> LayerCache:
-                c = bump_counters(c, float(spec.k), ctx.evict_gate)
-                ids = select_evictions(
-                    c, spec, ctx.next_pos, ctx.prompt_len, ctx.rand_rank
-                )
-                return evict_slots(c, ids, ctx.evict_gate)
-
-            cl = jax.lax.cond(jnp.any(ctx.evict_gate), do_evict, lambda c: c, cl)
+        # Eviction is NOT done here: the engine applies one vectorized
+        # eviction event across all layers after the forward
+        # (policies.evict_cache) — same ordering as the reference.
 
         attn_out = out.transpose(0, 2, 1, 3).reshape(B, C, Hq * Dh)
         h = h + mm(attn_out, p["wo"])

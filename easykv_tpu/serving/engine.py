@@ -90,6 +90,10 @@ def _decode_step(cfg: ModelConfig, spec: Optional[PolicySpec], budget: int,
         rand_rank=rand_rank,
     )
     logits, cache = llama.forward(params, cfg, cache, tokens[:, None], ctx, spec)
+    if spec is not None:
+        from ..policies import evict_cache
+
+        cache = evict_cache(cache, spec, ctx.next_pos, prompt_len, rand_rank, gate_b)
     return logits[:, -1, :], cache
 
 

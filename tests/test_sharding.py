@@ -73,9 +73,13 @@ def test_sharded_forward_matches_single_device():
         logits, cache = llama.forward(params, cfg, cache, ids, pre_ctx, None)
         outs = [logits[:, -1]]
         tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+        from easykv_tpu.policies import evict_cache
+
         for t in range(budget + 3):  # crosses the eviction boundary
             ctx = _decode_ctx(B, P_len + t, P_len, t + 1 > budget)
             logits, cache = llama.forward(params, cfg, cache, tok, ctx, spec)
+            cache = evict_cache(cache, spec, ctx.next_pos, ctx.prompt_len,
+                                ctx.rand_rank, ctx.evict_gate)
             tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
             outs.append(logits[:, -1])
         return jnp.stack(outs, 1), cache
