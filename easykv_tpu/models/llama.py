@@ -31,29 +31,9 @@ from ..policies import PolicySpec, update_scores
 
 Params = Dict[str, Any]
 
-_PALLAS_OVERRIDE = None  # set via use_pallas() for tests/benchmarks
-
-
-def use_pallas(enabled: Optional[bool]) -> None:
-    """Force the fused Pallas decode kernel on/off (None = auto: TPU only)."""
-    global _PALLAS_OVERRIDE
-    _PALLAS_OVERRIDE = enabled
-
-
-def _pallas_enabled() -> bool:
-    import os
-
-    if _PALLAS_OVERRIDE is not None:
-        return _PALLAS_OVERRIDE
-    env = os.environ.get("EASYKV_TPU_PALLAS")
-    if env is not None:
-        return env not in ("0", "false", "off")
-    import jax
-
-    # Single-chip TPU only by default: pallas_call is not auto-partitionable
-    # by GSPMD, so multi-device meshes take the (partitionable) XLA path
-    # until the kernel is wrapped in shard_map.
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+# Kernel-selection flags live in flags.py; re-exported here for convenience.
+from ..flags import pallas_enabled as _pallas_enabled  # noqa: E402
+from ..flags import use_pallas  # noqa: E402,F401
 
 
 class StepCtx(NamedTuple):

@@ -28,11 +28,26 @@ def quantize_linear(w: jax.Array, axis: int = -1) -> QuantLinear:
 
 
 def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
-    """x @ w for a plain array or a quantized linear."""
-    if isinstance(w, dict):
-        y = jnp.matmul(x, w["q"].astype(x.dtype))
-        return y * w["s"].astype(x.dtype)
-    return x @ w
+    """x @ w for a plain array or a quantized linear.
+
+    On single-chip TPU, small-M quantized matmuls route to the Pallas w8a16
+    kernel (one int8 HBM pass, fused dequant epilogue); everything else takes
+    the XLA convert-then-dot path."""
+    if not isinstance(w, dict):
+        return x @ w
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    from ..flags import pallas_enabled
+
+    if w["q"].ndim == 2 and M <= 256 and pallas_enabled():
+        from .pallas.quant_matmul import quant_matmul
+
+        y2 = quant_matmul(x.reshape(M, x.shape[-1]), w["q"], w["s"])
+        return y2.reshape(lead + (w["q"].shape[-1],))
+    y = jnp.matmul(x, w["q"].astype(x.dtype))
+    return y * w["s"].astype(x.dtype)
 
 
 def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array:

@@ -57,3 +57,16 @@ def test_quantized_model_generates_close_to_fp32():
     # int8 is lossy; greedy prefixes should still agree for a few tokens
     agree = sum(a == b for a, b in zip(out_fp, out_q))
     assert agree >= 4, f"quantized output too far from fp32: {out_fp} vs {out_q}"
+
+
+def test_pallas_quant_matmul_parity():
+    from easykv_tpu.ops.pallas.quant_matmul import quant_matmul
+
+    rng = np.random.default_rng(5)
+    for M, K, N in [(1, 128, 384), (8, 256, 300), (128, 128, 256)]:
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        q = quantize_linear(w)
+        ref = np.asarray(mm(x, q))
+        got = np.asarray(quant_matmul(x, q["q"], q["s"], interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
