@@ -1,10 +1,12 @@
 """Strided-encoding (prefill eviction) throughput: tokens/s of consuming a
 long prompt under a 0.5 budget vs full-cache prefill (reference
 test_summarization/test_passkey workloads)."""
+import os
 import sys
 import time
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    globals().get("__file__", "benchmarks/x")))))
 
 import jax
 import jax.numpy as jnp
