@@ -27,7 +27,7 @@ from ..config import ModelConfig
 from ..ops.attention import attend
 from ..ops.quant import mm
 from ..ops.rope import apply_rope, rope_base_for, rope_inv_freq
-from ..policies import PolicySpec, update_scores
+from ..policies import PolicySpec, update_scores, update_scores_reduced
 
 Params = Dict[str, Any]
 
@@ -152,6 +152,21 @@ def forward(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
             )
+        elif (cfg.sliding_window is None and _pallas_enabled()
+              and not cl.quantized):
+            # Fused chunk path (strided encoding / prefill): flash attention
+            # + on-chip score reduction (ops/pallas/chunk_attention.py).
+            from ..ops.pallas.chunk_attention import fused_chunk_attend
+
+            out, ssum, ssq, last = fused_chunk_attend(
+                q, cl.k, cl.v, cl.pos, ctx.q_pos
+            )
+            probs_kv = None
+            if spec is not None and (bootstrap or spec.policy not in ("full",)):
+                cl = update_scores_reduced(
+                    cl, ssum, ssq, last, spec, ctx.update_gate,
+                    bootstrap=bootstrap,
+                )
         else:
             k_raw, v_raw = kv_dequant(cl, h.dtype)
             out, probs_kv = attend(
@@ -159,7 +174,8 @@ def forward(
                 sliding_window=cfg.sliding_window, scale=scale,
             )
 
-        if spec is not None and (bootstrap or spec.policy not in ("full",)):
+        if (probs_kv is not None and spec is not None
+                and (bootstrap or spec.policy not in ("full",))):
             cl = update_scores(cl, probs_kv, spec, ctx.update_gate, bootstrap=bootstrap)
         # Eviction is NOT done here: the engine applies one vectorized
         # eviction event across all layers after the forward

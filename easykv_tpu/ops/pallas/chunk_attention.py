@@ -1,0 +1,200 @@
+"""Fused Pallas chunk attention for the strided-encoding path: flash-style
+attention over the ring buffer plus on-chip reduction of the eviction-score
+statistics.
+
+The XLA encode path materializes the (B, Hkv, rep, C, S) probability tensor
+to HBM before reducing it to per-slot score updates (reference semantics:
+easykv.py:443-457); at S≈5K, C≈96 that is ~60 MB per layer per chunk — more
+traffic than the attention math itself. Here:
+
+  * pass 1 (`_flash_kernel`): S-tiled online-softmax attention producing the
+    output plus each query row's exact softmax stats (m, l);
+  * pass 2 (`_score_kernel`): recomputes QK^T per S-tile (flops are cheap),
+    normalizes with (m, l), and reduces on-chip to the three statistics every
+    policy needs: sum_rows(p), sum_rows(p^2) and the last row — at KV-head
+    granularity (GQA mean over the rep query heads, easykv.py:188-196).
+
+Grid: (B, Hkv, S_tiles); VMEM scratch carries the accumulators across the
+S_tile-innermost iterations.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+TILE_S = 512
+
+
+def _row_qpos(qpos_ref, rep: int, C: int):
+    """(rep*C, 1) f32 per-row query positions from the (1,1,1,C) block."""
+    qp = qpos_ref[0, 0]                      # (1, C) int32
+    qp = jnp.broadcast_to(qp, (rep, C)).reshape(rep * C, 1)
+    return qp
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
+                  out_ref, m_ref, l_ref,
+                  acc, m_s, l_s, *, scale, rep, C):
+    s = pl.program_id(2)
+    nS = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    q = q_ref[0, 0].astype(jnp.float32)       # (rep*C, D)
+    k = k_ref[0, 0].astype(jnp.float32)       # (TS, D)
+    pos = pos_ref[0, 0]                       # (1, TS)
+    qp = _row_qpos(qpos_ref, rep, C)          # (rep*C, 1)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                  # (rep*C, TS)
+    mask = (pos >= 0) & (pos <= qp)
+    logits = jnp.where(mask, logits, NEG_INF)
+
+    m_new = jnp.maximum(m_s[:], jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.where(mask, jnp.exp(logits - m_new), 0.0)
+    c_old = jnp.exp(m_s[:] - m_new)
+    l_s[:] = l_s[:] * c_old + jnp.sum(e, axis=-1, keepdims=True)
+    acc[:] = acc[:] * c_old + jax.lax.dot_general(
+        e, v_ref[0, 0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_s[:] = m_new
+
+    @pl.when(s == nS - 1)
+    def _():
+        out_ref[0, 0] = (acc[:] / jnp.maximum(l_s[:], 1e-30)).astype(out_ref.dtype)
+        m_ref[0, 0] = m_s[:]
+        l_ref[0, 0] = l_s[:]
+
+
+def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, m_ref, l_ref,
+                  ssum_ref, ssq_ref, last_ref, *, scale, rep, C):
+    q = q_ref[0, 0].astype(jnp.float32)       # (rep*C, D)
+    k = k_ref[0, 0].astype(jnp.float32)       # (TS, D)
+    pos = pos_ref[0, 0]                       # (1, TS)
+    qp = _row_qpos(qpos_ref, rep, C)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    mask = (pos >= 0) & (pos <= qp)
+    p = jnp.where(mask, jnp.exp(logits - m_ref[0, 0]), 0.0)
+    p = p / jnp.maximum(l_ref[0, 0], 1e-30)    # exact probabilities (rep*C, TS)
+
+    TS = p.shape[-1]
+    pg = p.reshape(rep, C, TS)
+    p_kv = jnp.mean(pg, axis=0)                # (C, TS) GQA mean
+    ssum_ref[0, 0] = jnp.sum(p_kv, axis=0, keepdims=True)
+    ssq_ref[0, 0] = jnp.sum(p_kv * p_kv, axis=0, keepdims=True)
+    last_ref[0, 0] = p_kv[C - 1 :, :]          # last chunk row
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_chunk_attend(
+    q: jax.Array,        # (B, Hq, C, D)
+    k: jax.Array,        # (B, Hkv, S, D)
+    v: jax.Array,        # (B, Hkv, S, D)
+    kv_pos: jax.Array,   # (B, Hkv, S)
+    q_pos: jax.Array,    # (B, C)
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (out (B,Hq,C,D), ssum (B,Hkv,S), ssq (B,Hkv,S),
+    last_row (B,Hkv,S)) — the reduced score statistics in slot order.
+    Unquantized caches only (encode phase stores the working set in compute
+    dtype); float32 softmax throughout."""
+    B, Hq, C, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    scale = D ** -0.5
+
+    S_pad = ((S + TILE_S - 1) // TILE_S) * TILE_S
+    if S_pad != S:
+        pad = [(0, 0), (0, 0), (0, S_pad - S), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kv_pos = jnp.pad(kv_pos, [(0, 0), (0, 0), (0, S_pad - S)],
+                         constant_values=-1)
+    nS = S_pad // TILE_S
+
+    qg = q.reshape(B, Hkv, rep * C, D)
+    pos4 = kv_pos[:, :, None, :]
+    qpos4 = q_pos[:, None, None, :]
+
+    def spec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    # pass 1: flash attention + stats
+    out, m, l = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, rep=rep, C=C),
+        grid=(B, Hkv, nS),
+        in_specs=[
+            spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
+            spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
+            spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
+            spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
+            spec((1, 1, 1, C), lambda b, h, s: (b, 0, 0, 0)),
+        ],
+        out_specs=[
+            spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
+            spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
+            spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep * C, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, rep * C, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, rep * C, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rep * C, D), jnp.float32),
+            pltpu.VMEM((rep * C, 1), jnp.float32),
+            pltpu.VMEM((rep * C, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, k, v, pos4, qpos4)
+
+    # pass 2: score statistics per S tile
+    ssum, ssq, last = pl.pallas_call(
+        functools.partial(_score_kernel, scale=scale, rep=rep, C=C),
+        grid=(B, Hkv, nS),
+        in_specs=[
+            spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
+            spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
+            spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
+            spec((1, 1, 1, C), lambda b, h, s: (b, 0, 0, 0)),
+            spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
+            spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
+        ],
+        out_specs=[
+            spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
+            spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
+            spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, k, pos4, qpos4, m, l)
+
+    out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
+    return (
+        out,
+        ssum[:, :, 0, :S],
+        ssq[:, :, 0, :S],
+        last[:, :, 0, :S],
+    )

@@ -26,8 +26,16 @@ MAX_M = 256
 
 def _kernel(x_ref, w_ref, s_ref, o_ref):
     x = x_ref[:]                                   # (M, K)
-    w = w_ref[:].astype(x.dtype)                   # (K, TN) int8 -> compute dtype
-    acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    M = x.shape[0]
+    if M == 1:
+        # GEMV: a 1-row jnp.dot runs the MXU at 1/128 utilization; a VPU
+        # broadcast-multiply + K-reduction is bandwidth-bound instead.
+        w = w_ref[:].astype(jnp.float32)           # (K, TN)
+        xf = x.astype(jnp.float32).reshape(-1, 1)  # 32-bit reshape (Mosaic)
+        acc = jnp.sum(xf * w, axis=0, keepdims=True)  # (1, TN)
+    else:
+        w = w_ref[:].astype(x.dtype)               # (K, TN) int8 -> compute
+        acc = jnp.dot(x, w, preferred_element_type=jnp.float32)
     o_ref[:] = (acc * s_ref[:]).astype(o_ref.dtype)  # s: (1, TN)
 
 

@@ -231,6 +231,35 @@ def update_scores(
     return cache  # recency / random / full keep no scores
 
 
+def update_scores_reduced(
+    cache: LayerCache,
+    ssum: jax.Array,         # (B, Hkv, S) sum over chunk rows of GQA-mean p
+    ssq: jax.Array,          # (B, Hkv, S) sum of squares
+    last: jax.Array,         # (B, Hkv, S) last chunk row (GQA-mean p)
+    spec: PolicySpec,
+    update_gate: jax.Array,
+    bootstrap: bool = False,
+) -> LayerCache:
+    """update_scores for kernels that reduce the probability tensor on-chip
+    (ops/pallas/chunk_attention.py, decode kernel) — same semantics, no
+    (B, Hkv, C, S) materialization."""
+    gate = update_gate.astype(jnp.float32)
+    if bootstrap or spec.policy in ("h2o_head", "roco"):
+        score = cache.score + ssum * gate
+        score_sq = cache.score_sq
+        if bootstrap or spec.policy == "roco":
+            score_sq = cache.score_sq + ssq * gate
+        return cache._replace(score=score, score_sq=score_sq)
+    if spec.policy == "tova":
+        if spec.phase == PHASE_ENCODE:
+            last = jnp.broadcast_to(
+                jnp.mean(last, axis=1, keepdims=True), cache.score.shape
+            )
+        score = jnp.where(update_gate, last, cache.score)
+        return cache._replace(score=score)
+    return cache
+
+
 def bump_counters(
     cache: LayerCache, amount: float, gate: Optional[jax.Array] = None
 ) -> LayerCache:

@@ -1,0 +1,70 @@
+"""Fused chunk attention kernel (flash + score reduction) parity vs the XLA
+attention path, interpret mode."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from easykv_tpu.ops.attention import attend
+from easykv_tpu.ops.pallas.chunk_attention import fused_chunk_attend
+
+
+@pytest.mark.parametrize("rep,C,S", [(1, 8, 40), (2, 16, 130), (4, 8, 520)])
+def test_fused_chunk_attend_matches_xla(rep, C, S):
+    B, Hkv, D = 2, 2, 128
+    Hq = Hkv * rep
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    pos = rng.integers(0, 60, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::7] = -1
+    kv_pos = jnp.asarray(pos)
+    # chunk positions: consecutive, the newest in the buffer
+    q_pos = jnp.broadcast_to(
+        60 + jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)
+    )
+    # also write the chunk's own keys into some slots (intra-chunk causality)
+    pos2 = pos.copy()
+    pos2[:, :, :C] = 60 + np.arange(C)
+    kv_pos = jnp.asarray(pos2)
+
+    ref_out, ref_probs = attend(q, k, v, kv_pos, q_pos)
+    ref_ssum = np.asarray(jnp.sum(ref_probs, axis=2))
+    ref_ssq = np.asarray(jnp.sum(ref_probs**2, axis=2))
+    ref_last = np.asarray(ref_probs[:, :, -1, :])
+
+    out, ssum, ssq, last = fused_chunk_attend(
+        q, k, v, kv_pos, q_pos, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ssum), ref_ssum, atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ssq), ref_ssq, atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(last), ref_last, atol=1e-6, rtol=1e-4)
+
+
+def test_padding_queries_zero():
+    B, Hkv, rep, C, S, D = 1, 1, 1, 8, 32, 128
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, Hkv * rep, C, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    pos = np.full((B, Hkv, S), -1, np.int32)
+    pos[:, :, :10] = np.arange(10)
+    q_pos = np.full((B, C), -1, np.int32)
+    q_pos[0, :4] = [10, 11, 12, 13]
+    pos[:, :, 10:14] = [10, 11, 12, 13]
+    out, ssum, ssq, last = fused_chunk_attend(
+        q, jnp.asarray(k), jnp.asarray(v), jnp.asarray(pos),
+        jnp.asarray(q_pos), interpret=True,
+    )
+    # padding query rows (q_pos == -1) contribute nothing
+    ref_out, ref_probs = attend(q, k, v, jnp.asarray(pos), jnp.asarray(q_pos))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(ssum), np.asarray(jnp.sum(ref_probs, axis=2)),
+        atol=1e-5, rtol=1e-4,
+    )
