@@ -158,11 +158,14 @@ def forward(
             # + on-chip score reduction (ops/pallas/chunk_attention.py).
             from ..ops.pallas.chunk_attention import fused_chunk_attend
 
+            need_scores = spec is not None and (
+                bootstrap or spec.policy in ("h2o_head", "roco", "tova")
+            )
             out, ssum, ssq, last = fused_chunk_attend(
-                q, cl.k, cl.v, cl.pos, ctx.q_pos
+                q, cl.k, cl.v, cl.pos, ctx.q_pos, need_scores=need_scores
             )
             probs_kv = None
-            if spec is not None and (bootstrap or spec.policy not in ("full",)):
+            if need_scores:
                 cl = update_scores_reduced(
                     cl, ssum, ssq, last, spec, ctx.update_gate,
                     bootstrap=bootstrap,

@@ -32,10 +32,11 @@ TILE_S = 512
 
 
 def _row_qpos(qpos_ref, rep: int, C: int):
-    """(rep*C, 1) f32 per-row query positions from the (1,1,1,C) block."""
-    qp = qpos_ref[0, 0]                      # (1, C) int32
-    qp = jnp.broadcast_to(qp, (rep, C)).reshape(rep * C, 1)
-    return qp
+    """(rep*C, 1) per-row query positions from the pre-tiled (1,1,1,rep*C)
+    block (host-side tiling — Mosaic cannot collapse (rep, C) -> (rep*C, 1)
+    in one shape cast; a (1, N) -> (N, 1) 32-bit reshape is supported)."""
+    qp = qpos_ref[0, 0]                      # (1, rep*C) int32
+    return qp.reshape(rep * C, 1)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
@@ -103,7 +104,7 @@ def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, m_ref, l_ref,
     last_ref[0, 0] = p_kv[C - 1 :, :]          # last chunk row
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
 def fused_chunk_attend(
     q: jax.Array,        # (B, Hq, C, D)
     k: jax.Array,        # (B, Hkv, S, D)
@@ -111,9 +112,11 @@ def fused_chunk_attend(
     kv_pos: jax.Array,   # (B, Hkv, S)
     q_pos: jax.Array,    # (B, C)
     interpret: bool = False,
+    need_scores: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (out (B,Hq,C,D), ssum (B,Hkv,S), ssq (B,Hkv,S),
-    last_row (B,Hkv,S)) — the reduced score statistics in slot order.
+    last_row (B,Hkv,S)) — the reduced score statistics in slot order
+    (None when need_scores=False: plain prefill skips the score pass).
     Unquantized caches only (encode phase stores the working set in compute
     dtype); float32 softmax throughout."""
     B, Hq, C, D = q.shape
@@ -132,7 +135,8 @@ def fused_chunk_attend(
 
     qg = q.reshape(B, Hkv, rep * C, D)
     pos4 = kv_pos[:, :, None, :]
-    qpos4 = q_pos[:, None, None, :]
+    qpos_rows = jnp.tile(q_pos, (1, rep))    # (B, rep*C), row r -> q_pos[r % C]
+    qpos4 = qpos_rows[:, None, None, :]
 
     def spec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
@@ -146,7 +150,7 @@ def fused_chunk_attend(
             spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
             spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
             spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
-            spec((1, 1, 1, C), lambda b, h, s: (b, 0, 0, 0)),
+            spec((1, 1, 1, rep * C), lambda b, h, s: (b, 0, 0, 0)),
         ],
         out_specs=[
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
@@ -166,6 +170,10 @@ def fused_chunk_attend(
         interpret=interpret,
     )(qg, k, v, pos4, qpos4)
 
+    if not need_scores:
+        out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
+        return out, None, None, None
+
     # pass 2: score statistics per S tile
     ssum, ssq, last = pl.pallas_call(
         functools.partial(_score_kernel, scale=scale, rep=rep, C=C),
@@ -174,7 +182,7 @@ def fused_chunk_attend(
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
             spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
             spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
-            spec((1, 1, 1, C), lambda b, h, s: (b, 0, 0, 0)),
+            spec((1, 1, 1, rep * C), lambda b, h, s: (b, 0, 0, 0)),
             spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
             spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
         ],

@@ -1,0 +1,114 @@
+"""Multi-process (simulated multi-host) smoke test: two processes join via
+jax.distributed, build a global 2x4 mesh (4 local CPU devices each), shard
+params + budgeted KV cache, and run a decode step with eviction.
+
+Exercises the cross-host path of parallel/: global device enumeration,
+NamedSharding over a mesh spanning processes, and shard-local eviction."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+proc = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=proc
+)
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4
+
+sys.path.insert(0, os.environ["REPO"])
+import jax.numpy as jnp
+import numpy as np
+from easykv_tpu.cache import init_cache
+from easykv_tpu.config import MeshConfig, ModelConfig
+from easykv_tpu.models import llama
+from easykv_tpu.models.llama import StepCtx
+from easykv_tpu.parallel import make_mesh, shard_cache, shard_params
+from easykv_tpu.policies import PHASE_DECODE, PolicySpec, evict_cache
+
+mc = MeshConfig(data=2, model=4)
+mesh = make_mesh(mc)
+cfg = ModelConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=8,
+                  num_key_value_heads=4, head_dim=8,
+                  max_position_embeddings=64)
+params = llama.init_params(cfg, jax.random.PRNGKey(0))
+B, P, budget = 2, 8, 6
+cache = init_cache(cfg.num_hidden_layers, B, 4, P + budget + 1, cfg.head_dim,
+                   jnp.float32)
+params = shard_params(params, cfg, mc, mesh)
+cache = shard_cache(cache, mc, mesh)
+rw = int(budget * 0.3)
+spec = PolicySpec("roco", PHASE_DECODE, 1, 4, rw, feasible_k=budget - rw,
+                  protect_prompt=True)
+
+ids = jnp.ones((B, P), jnp.int32)
+pos = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[None], (B, P))
+ctx = StepCtx(q_pos=pos, token_valid=jnp.ones((B, P), bool),
+              counter_init=jnp.zeros((B, P), jnp.float32),
+              next_pos=jnp.full((B,), P, jnp.int32),
+              prompt_len=jnp.full((B,), P, jnp.int32),
+              evict_gate=jnp.zeros((B,), bool),
+              update_gate=jnp.zeros((), bool),
+              rand_rank=jnp.zeros((B,), jnp.int32))
+logits, cache = jax.jit(lambda p, c: llama.forward(p, cfg, c, ids, ctx, None))(params, cache)
+
+def step(params, cache, g):
+    tp = jnp.full((B,), P + g, jnp.int32)
+    c2 = StepCtx(q_pos=tp[:, None], token_valid=jnp.ones((B, 1), bool),
+                 counter_init=jnp.zeros((B, 1), jnp.float32),
+                 next_pos=tp + 1, prompt_len=jnp.full((B,), P, jnp.int32),
+                 evict_gate=jnp.full((B,), g + 1 > budget, bool),
+                 update_gate=jnp.ones((), bool),
+                 rand_rank=jnp.zeros((B,), jnp.int32))
+    lg, cache = llama.forward(params, cfg, cache, jnp.ones((B, 1), jnp.int32), c2, spec)
+    cache = evict_cache(cache, spec, c2.next_pos, c2.prompt_len,
+                        c2.rand_rank, c2.evict_gate)
+    return lg, cache
+
+jstep = jax.jit(step, static_argnums=())
+for g in range(budget + 2):
+    lg, cache = jstep(params, cache, g)
+jax.block_until_ready(lg)
+for shard in lg.addressable_shards:
+    assert np.isfinite(np.asarray(shard.data, np.float32)).all()
+print(f"proc {proc}: multihost ok", flush=True)
+"""
+
+
+@pytest.mark.skipif(os.environ.get("EASYKV_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_mesh(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(os.environ, REPO=os.path.dirname(os.path.dirname(__file__)),
+               JAX_PLATFORMS="")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i), "2", port],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert "multihost ok" in out
