@@ -35,6 +35,12 @@ Params = Dict[str, Any]
 from ..flags import pallas_enabled as _pallas_enabled  # noqa: E402
 from ..flags import use_pallas  # noqa: E402,F401
 
+# Fused chunk kernel measured SLOWER than XLA's fused softmax+reduce encode
+# path on v5e (1.1B: 8990 vs 9578; 7B: 1915 vs 2360 prefill tok/s) — the
+# 2-pass QK recompute and sub-128-row MXU tiles cost more than the probs
+# HBM round-trip saves. Kept opt-in for larger-S regimes.
+_CHUNK_KERNEL = False
+
 
 class StepCtx(NamedTuple):
     """Dynamic per-chunk context threaded through the layer scan.
@@ -153,7 +159,7 @@ def forward(
                 v_scale=cl.v_scale if cl.quantized else None,
             )
         elif (cfg.sliding_window is None and _pallas_enabled()
-              and not cl.quantized):
+              and _CHUNK_KERNEL and not cl.quantized):
             # Fused chunk path (strided encoding / prefill): flash attention
             # + on-chip score reduction (ops/pallas/chunk_attention.py).
             from ..ops.pallas.chunk_attention import fused_chunk_attend
