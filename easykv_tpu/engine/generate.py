@@ -50,7 +50,7 @@ from ..policies import (
     PolicySpec,
     evict_cache,
 )
-from ..sampling import logits_adapter, sample_from_logits, sample_token
+from ..sampling import logits_adapter, sample_token, sample_topp
 
 PREFILL_CHUNK = 128
 
@@ -352,11 +352,10 @@ def _decode_loop(
     def body(carry):
         cache, lastlog, key, n, done, out, g, kv_len = carry
         key, sub = jax.random.split(key)
-        # Full-sort nucleus sampling: the TPU bitonic sort over 32K vocab is
-        # ~33us — benchmarked FASTER in-loop than a top-k fast path with
-        # lax.cond fallback (229.5 vs 216.5 tok/s at 1.1B).
-        probs, _ = logits_adapter(lastlog, temperature, top_p)
-        token = sample_token(sub, probs)
+        # Single-argsort nucleus sampling in the sorted domain (identical
+        # distribution to logits_adapter+sample_token; A/B'd faster than a
+        # top-k + lax.cond fast path, see RESULTS.md).
+        token = sample_topp(sub, lastlog, temperature, top_p)
         out = out.at[:, n].set(jnp.where(done, -1, token))
         newly_done = done | _isin_eos(token, st.eos_token_ids)
         n = n + 1

@@ -201,8 +201,20 @@ def forward(
     if cfg.tie_word_embeddings:
         logits = (h @ params["embed"].T).astype(jnp.float32)
     else:
-        logits = mm(h, params["lm_head"]).astype(jnp.float32)
+        logits = _lm_head(h, params["lm_head"]).astype(jnp.float32)
     return logits, KVCache(*new_cache)
+
+
+def _lm_head(h: jax.Array, head) -> jax.Array:
+    """LM head projection with float32 accumulation — measurably faster than
+    the bf16-out dot for the decode GEMV (0.49 vs 0.55 ms at D=2048 V=32000
+    in-graph) and numerically tighter. A Pallas VPU GEMV was A/B'd and did
+    not beat XLA here (RESULTS.md)."""
+    if isinstance(head, dict):
+        y = jnp.matmul(h, head["q"].astype(h.dtype),
+                       preferred_element_type=jnp.float32)
+        return y * head["s"]
+    return jnp.matmul(h, head, preferred_element_type=jnp.float32)
 
 
 def _age_ranks(pos: jax.Array) -> jax.Array:

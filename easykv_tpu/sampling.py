@@ -101,3 +101,22 @@ def sample_from_logits(
         lambda k: jax.lax.cond(jnp.all(inside), fast, slow, k).astype(jnp.int32),
         key,
     ).astype(jnp.int32)
+
+
+def sample_topp(
+    key: jax.Array, logits: jax.Array, temperature: jax.Array, top_p: jax.Array
+) -> jax.Array:
+    """Temperature + nucleus sampling with a single argsort: sample in the
+    sorted domain and map back through the permutation — identical
+    distribution to logits_adapter + sample_token, without the inverse-
+    permutation argsort and un-sort gather. logits (B, V) -> (B,) int32."""
+    logits = logits.astype(jnp.float32)
+    temp = jnp.maximum(jnp.float32(temperature), jnp.float32(1e-10))
+    prob = jax.nn.softmax(logits / temp, axis=-1)
+    order = jnp.argsort(-prob, axis=-1)
+    sp = jnp.take_along_axis(prob, order, axis=-1)
+    cumsum = jnp.cumsum(sp, axis=-1)
+    keep = (cumsum - sp) <= jnp.float32(top_p)
+    logp = jnp.where(keep, jnp.log(jnp.maximum(sp, 1e-37)), -jnp.inf)
+    choice = jax.random.categorical(key, logp, axis=-1)
+    return jnp.take_along_axis(order, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)

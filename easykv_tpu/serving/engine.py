@@ -27,7 +27,7 @@ from ..config import GenerationConfig, ModelConfig, canonical_policy
 from ..models import llama
 from ..models.llama import StepCtx
 from ..policies import PHASE_DECODE, PolicySpec
-from ..sampling import logits_adapter, sample_from_logits, sample_token
+from ..sampling import sample_topp
 
 
 @dataclasses.dataclass
@@ -172,9 +172,10 @@ class ContinuousBatchEngine:
             last_idx = T - 1 - c * self.pc
             if 0 <= last_idx < self.pc:
                 last_logits = logits[last_idx]
-        probs, _ = logits_adapter(last_logits[None], self.temperature, self.top_p)
         self.rng, sub = jax.random.split(self.rng)
-        tok = int(sample_token(sub, probs)[0])
+        tok = int(sample_topp(sub, last_logits[None],
+                              jnp.float32(self.temperature),
+                              jnp.float32(self.top_p))[0])
         self.slots[slot] = req
         self.prompt_len[slot] = T
         self.gen_count[slot] = 0
@@ -219,9 +220,9 @@ class ContinuousBatchEngine:
             jnp.asarray(self.next_token), jnp.asarray(active),
             jnp.asarray(self.prompt_len), jnp.asarray(self.gen_count), sub,
         )
-        probs, _ = logits_adapter(logits, self.temperature, self.top_p)
         self.rng, sub = jax.random.split(self.rng)
-        toks = np.asarray(sample_token(sub, probs))
+        toks = np.asarray(sample_topp(sub, logits, jnp.float32(self.temperature),
+                                      jnp.float32(self.top_p)))
         for slot in range(self.B):
             if self.slots[slot] is None:
                 continue
