@@ -1,0 +1,69 @@
+"""Aggregate decode throughput vs batch size: B independent streams share
+each weight pass, so tokens/s scales until the chip becomes compute/KV
+bound. Exercises the batch dimension of the engine (the reference is
+hard-wired to batch 1, SURVEY.md §2.3)."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    globals().get("__file__", "benchmarks/x")))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from easykv_tpu import CausalLM, ModelConfig
+    from easykv_tpu.engine.generate import EngineStatics, _run_decoding
+    from easykv_tpu.models import llama
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        cfg = ModelConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
+            max_position_embeddings=2048,
+        )
+        dtype, P, gen, budget, batches = jnp.bfloat16, 512, 256, 200, [1, 4, 8, 16]
+    else:
+        cfg = ModelConfig(
+            vocab_size=512, hidden_size=128, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            max_position_embeddings=1024,
+        )
+        dtype, P, gen, budget, batches = jnp.float32, 64, 32, 16, [1, 4]
+
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    jax.block_until_ready(params)
+    model = CausalLM(cfg, params, dtype=str(jnp.dtype(dtype)))
+    rng = np.random.default_rng(0)
+
+    for B in batches:
+        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32)
+        st = EngineStatics(
+            cfg=cfg, mode="decoding", policy="roco", stride=1, length=P,
+            budget=budget, recent_window_dec=int(budget * 0.3),
+            max_new_tokens=gen, dtype=str(jnp.dtype(dtype)),
+        )
+        prompt_len = jnp.full((B,), P, jnp.int32)
+        args = (st, model.params, ids, prompt_len, jnp.float32(1.0),
+                jnp.float32(0.95), jax.random.PRNGKey(0))
+        res = _run_decoding(*args)
+        jax.block_until_ready(res.out_ids)
+        t0 = time.time()
+        res = _run_decoding(*args)
+        jax.block_until_ready(res.out_ids)
+        dt = time.time() - t0
+        total = int(np.asarray(res.n_tokens).sum())
+        log(f"B={B:3d}: {total/dt:9.1f} tok/s aggregate "
+            f"({total/dt/B:7.1f} per stream; {dt:.2f}s)")
+
+
+if __name__ == "__main__":
+    main()
