@@ -1,3 +1,4 @@
 from .engine import ContinuousBatchEngine, Request
+from .scheduled import ScheduledBatchEngine
 
-__all__ = ["ContinuousBatchEngine", "Request"]
+__all__ = ["ContinuousBatchEngine", "Request", "ScheduledBatchEngine"]

@@ -42,13 +42,16 @@ class Request:
 
 @functools.partial(jax.jit, static_argnames=("cfg", "spec", "pc"))
 def _prefill_chunk(cfg: ModelConfig, spec, pc: int, params, cache: KVCache,
-                   chunk, start, prefix_len, row):
+                   chunk, start, prefix_len, row, window_end=None):
     """Masked prefill: only batch row `row` consumes `chunk`; other rows are
-    padding-masked and their cache/scores are untouched."""
+    padding-masked and their cache/scores are untouched. `window_end` bounds
+    the consumed positions (the scheduler may plan sub-chunk windows)."""
     B = cache.k.shape[1]
     pos = start + jnp.arange(pc, dtype=jnp.int32)[None, :]
     row_mask = (jnp.arange(B) == row)[:, None]
     tok_valid = row_mask & (pos < prefix_len)
+    if window_end is not None:
+        tok_valid = tok_valid & (pos < window_end)
     q_pos = jnp.where(tok_valid, pos, -1)
     ctx = StepCtx(
         q_pos=q_pos,
