@@ -726,7 +726,12 @@ def generate(
     if mode in ("encoding", "ppl"):
         # reference easykv.py:385-392 budget resolution
         b = int(length * budget) + stride if isinstance(budget, float) else int(budget) + stride
-        idx, r_idx = stride_align(length, b, stride)
+        if mode == "ppl":
+            # the ppl branch uses the ASCENDING r_idx scan (tiny prefix),
+            # like encoding_decoding — reference easykv.py:777-780
+            idx, r_idx = stride_align_encdec(length, b, stride)
+        else:
+            idx, r_idx = stride_align(length, b, stride)
         if (length - r_idx) % stride != 0:
             raise ValueError(
                 f"length={length}, stride={stride}, budget={budget}: prefix "

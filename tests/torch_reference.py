@@ -1,0 +1,162 @@
+"""Independent torch reimplementation of the reference's budgeted teacher-
+forced perplexity algorithm (reference easykv/easykv.py:766-901,
+keep_attention=False path), operating on an HF LlamaForCausalLM with eager
+attention and DynamicCache surgery.
+
+Used by test_cross_impl.py to validate the ENTIRE jax engine (budget
+alignment, chunked feeding, GQA score updates, eviction, CE accounting)
+against a second implementation running the same weights.
+"""
+from __future__ import annotations
+
+import math
+
+import torch
+
+
+def _gqa_mean(attn, n_kv, rep):
+    # (1, Hq, q, k) -> (Hkv, q, k), mean over the rep group (easykv.py:188-196)
+    bs, hq, q, kk = attn.shape
+    return attn.reshape(n_kv, rep, q, kk).mean(dim=1)
+
+
+def _evict_liso(pkv, eviction_ids):
+    # per-head mask-gather compaction (reference truncate_kv_cache_liso,
+    # easykv.py:70-82) on a 4.57 DynamicCache
+    for l, layer in enumerate(pkv.layers):
+        k, v = layer.keys, layer.values         # (1, Hkv, S, D)
+        H, S, D = k.shape[1], k.shape[2], k.shape[3]
+        mask = torch.ones(H, S, dtype=torch.bool)
+        mask.scatter_(1, eviction_ids[l], False)
+        layer.keys = k[0][mask].view(1, H, -1, D)
+        layer.values = v[0][mask].view(1, H, -1, D)
+
+
+def reference_budgeted_ppl(
+    model, input_ids, budget=0.5, stride=4, policy="roco",
+    recent_ratio=0.1, sink_length=4,
+):
+    """Returns (ppl, retained_positions) — retained_positions is the per
+    (layer, head) set of original token indices left in the cache, tracked
+    alongside the reference algorithm for stronger comparison."""
+    from transformers import DynamicCache
+
+    cfg = model.config
+    L = cfg.num_hidden_layers
+    Hkv = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // Hkv
+    length = input_ids.shape[-1]
+
+    if isinstance(budget, float):
+        budget = int(length * budget) + stride
+    else:
+        budget = int(budget) + stride
+    idx = 0
+    for i in range(budget, -1, -1):
+        if (length - i) % stride == 0:
+            idx = i
+            break
+    r_idx = idx - 1 if idx >= 1 else 0
+    for r in range(1, idx):
+        if (idx - r) % stride == 0:
+            r_idx = r
+            break
+    recent_window = int(budget * recent_ratio)
+
+    pkv = DynamicCache()
+    with torch.no_grad():
+        out = model(input_ids=input_ids[:, :r_idx], use_cache=True,
+                    past_key_values=pkv)
+    pkv = out.past_key_values
+
+    W = idx + stride
+    scores = torch.zeros(L, Hkv, W)
+    scores_sq = torch.zeros(L, Hkv, W)
+    counter = torch.cat([
+        torch.full((idx,), float(stride)),
+        torch.arange(stride, 0, -1, dtype=torch.float32),
+    ]) - float(stride)
+    counter = counter.unsqueeze(0).unsqueeze(0).repeat(L, Hkv, 1).clone()
+
+    # per-(layer, head) original positions currently cached, in buffer order
+    positions = [[list(range(r_idx)) for _ in range(Hkv)] for _ in range(L)]
+
+    all_logits, all_ids = [], []
+    cur_pos = r_idx
+    for token_i in range(r_idx, length, stride):
+        chunk = input_ids[:, token_i : token_i + stride]
+        pos_ids = torch.arange(cur_pos, cur_pos + stride).unsqueeze(0)
+        with torch.no_grad():
+            out = model(
+                input_ids=chunk, past_key_values=pkv, use_cache=True,
+                output_attentions=True, position_ids=pos_ids,
+                cache_position=pos_ids[0],
+            )
+        pkv = out.past_key_values
+        all_logits.append(out.logits[0])
+        all_ids.append(chunk[0])
+        for l in range(L):
+            for h in range(Hkv):
+                positions[l][h].extend(range(token_i, token_i + stride))
+
+        cur_kv = pkv.layers[0].keys.shape[2]
+        attn = [_gqa_mean(a.float(), Hkv, rep) for a in out.attentions]
+        if cur_kv > idx:
+            if policy in ("h2o_head", "roco"):
+                for l in range(L):
+                    am = attn[l].sum(dim=1)                     # (Hkv, S)
+                    scores[l, :, : am.shape[-1]] += am
+                    if policy == "roco":
+                        scores_sq[l, :, : am.shape[-1]] += (attn[l] ** 2).sum(dim=1)
+            elif policy == "tova":
+                for l in range(L):
+                    am = attn[l][:, -1, :].mean(dim=0).unsqueeze(0).repeat(Hkv, 1)
+                    scores[l, :, : am.shape[-1]] = am
+
+            counter += float(stride)
+            if policy in ("h2o_head", "tova"):
+                ev = torch.topk(scores[:, :, sink_length:-recent_window],
+                                dim=-1, k=stride, largest=False)[1] + sink_length
+            elif policy == "roco":
+                std = torch.sqrt(scores_sq / counter - (scores / counter) ** 2)
+                std[:, :, -10:] = 1e9
+                std[:, :, :sink_length] = 1e9
+                k1 = max(budget - recent_window - sink_length, stride)
+                feas = torch.topk(std, largest=False, k=k1, dim=-1)[1]
+                avg = scores.gather(-1, feas) / counter.gather(-1, feas)
+                inner = torch.topk(avg, dim=-1, largest=False, k=stride)[1]
+                ev = feas.gather(-1, inner)
+            elif policy == "recency":
+                ev = (sink_length + torch.arange(stride)).view(1, 1, -1).repeat(L, Hkv, 1)
+            else:
+                raise ValueError(policy)
+            _evict_liso(pkv, ev)
+            for l in range(L):
+                for h in range(Hkv):
+                    for i in sorted(ev[l, h].tolist(), reverse=True):
+                        positions[l][h].pop(i)
+            # compact score buffers with the same mask, append zero tails
+            ones = torch.ones(L * Hkv, W)
+            src = torch.zeros(L * Hkv, stride)
+            mask = ones.scatter(-1, ev.view(L * Hkv, -1).to(torch.int64), src).bool()
+            tail_c = (torch.arange(stride) - stride + 1).flip(0).float()
+            scores = torch.cat([
+                scores.view(-1, W)[mask].view(L, Hkv, -1),
+                torch.zeros(L, Hkv, stride)], dim=-1)
+            scores_sq = torch.cat([
+                scores_sq.view(-1, W)[mask].view(L, Hkv, -1),
+                torch.zeros(L, Hkv, stride)], dim=-1)
+            counter = torch.cat([
+                counter.view(-1, W)[mask].view(L, Hkv, -1),
+                tail_c.view(1, 1, -1).repeat(L, Hkv, 1)], dim=-1)
+        cur_pos += stride
+
+    ids_cat = torch.cat(all_ids)
+    logits_cat = torch.cat(all_logits, dim=0)
+    loss = torch.nn.CrossEntropyLoss(reduction="none")(
+        logits_cat[:-1], ids_cat[1:]
+    )
+    retained = {
+        (l, h): sorted(positions[l][h]) for l in range(L) for h in range(Hkv)
+    }
+    return math.exp(loss.mean().item()), retained
