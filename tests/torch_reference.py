@@ -160,3 +160,87 @@ def reference_budgeted_ppl(
         (l, h): sorted(positions[l][h]) for l in range(L) for h in range(Hkv)
     }
     return math.exp(loss.mean().item()), retained
+
+
+def reference_decode_greedy(
+    model, input_ids, budget, policy="roco", max_new_tokens=16,
+):
+    """The reference's decode-phase loop (easykv.py:228-366): greedy
+    sampling, per-step silo eviction over the generated region only, decode
+    recent_ratio hard-coded to 0.3. Returns the generated token list."""
+    from transformers import DynamicCache
+
+    cfg = model.config
+    L = cfg.num_hidden_layers
+    Hkv = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // Hkv
+    P = input_ids.shape[-1]
+
+    pkv = DynamicCache()
+    with torch.no_grad():
+        out = model(input_ids=input_ids, use_cache=True, past_key_values=pkv)
+    pkv = out.past_key_values
+    logits_prev = out.logits[:, -1, :]
+
+    W = budget + 1
+    scores = torch.zeros(L, Hkv, W)
+    scores_sq = torch.zeros(L, Hkv, W)
+    counter = torch.arange(budget, -1.0, -1.0).view(1, 1, -1).repeat(L, Hkv, 1).clone()
+    out_ids = []
+    cur_pos = P
+    recent_window = int(budget * 0.3)  # easykv.py:308
+
+    for _ in range(max_new_tokens):
+        tok = int(logits_prev.argmax(-1)[0])
+        out_ids.append(tok)
+        with torch.no_grad():
+            o = model(
+                input_ids=torch.tensor([[tok]]), past_key_values=pkv,
+                use_cache=True, output_attentions=True,
+                position_ids=torch.tensor([[cur_pos]]),
+                cache_position=torch.tensor([cur_pos]),
+            )
+        pkv = o.past_key_values
+        logits_prev = o.logits[:, -1, :]
+        attn = [_gqa_mean(a.float(), Hkv, rep) for a in o.attentions]
+        for l in range(L):
+            am = attn[l][:, 0, P:]                    # generated region
+            if policy in ("h2o_head", "roco"):
+                scores[l, :, : am.shape[-1]] += am
+                if policy == "roco":
+                    scores_sq[l, :, : am.shape[-1]] += am ** 2
+            elif policy == "tova":
+                scores[l, :, : am.shape[-1]] = am
+        cur_kv = pkv.layers[0].keys.shape[2]
+        if cur_kv - P > budget:
+            counter += 1.0
+            if policy == "h2o_head":
+                ev = torch.argmin(scores[:, :, :-recent_window], dim=-1)
+            elif policy == "roco":
+                std = torch.sqrt(scores_sq / counter - (scores / counter) ** 2)
+                std[:, :, -10:] = 1e9
+                feas = torch.topk(std, largest=False, k=budget - recent_window,
+                                  dim=-1)[1]
+                avg = scores.gather(-1, feas) / counter.gather(-1, feas)
+                ev = feas.gather(-1, avg.argmin(-1, keepdim=True)).squeeze(-1)
+            elif policy == "tova":
+                ev = scores.argmin(dim=-1)
+            elif policy == "recency":
+                ev = torch.zeros(L, Hkv, dtype=torch.int64)
+            else:
+                raise ValueError(policy)
+            ev_abs = ev + P
+            _evict_liso(pkv, ev_abs.unsqueeze(-1))
+            # compact score buffers, append zero columns
+            idxs = torch.arange(W).view(1, 1, -1).repeat(L, Hkv, 1)
+            mask = (ev.unsqueeze(-1) != idxs).view(-1, W)
+            def compact(t):
+                return torch.cat([
+                    t.view(-1, W)[mask].view(L, Hkv, W - 1),
+                    torch.zeros(L, Hkv, 1)], dim=-1)
+            scores = compact(scores)
+            if policy == "roco":
+                scores_sq = compact(scores_sq)
+                counter = compact(counter)
+        cur_pos += 1
+    return out_ids
