@@ -143,11 +143,16 @@ def select_evictions(
         mean = cache.score / counter
         var = cache.score_sq / counter - mean * mean
         std = jnp.sqrt(jnp.maximum(var, 0.0))
-        # The reference's forced slots all share the same 1e9 value, and when
-        # feasible_k exceeds the number of unforced slots torch.topk breaks
-        # the tie by buffer index == arrival order. Encode that order into the
-        # forced values (position-scaled offsets stay monotone in f32: steps
-        # of 1024 exceed the 128-ulp resolution near 2e9).
+        # The reference's forced slots all share the same 1e9 value. When
+        # feasible_k exceeds the number of unforced slots the reference's
+        # behavior is torch.topk's tie order among identical values — which
+        # is heap-arbitrary (verified: NOT index order), i.e. the reference
+        # is nondeterministic in that regime. It only arises for toy configs
+        # (stride < 10 with small budgets; real workloads use stride 24-96).
+        # We make it deterministic: encode arrival order into the forced
+        # values (position-scaled offsets stay monotone in f32: steps of
+        # 1024 exceed the 128-ulp resolution near 2e9), so the OLDEST forced
+        # slots fill the remainder of the feasible set.
         forced = pos >= npos - ROCO_STD_GUARD
         if spec.phase == PHASE_ENCODE:
             forced |= pos < spec.sink_length

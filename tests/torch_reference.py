@@ -14,6 +14,20 @@ import math
 import torch
 
 
+def _chunk_causal_mask(past_len, stride):
+    """Explicit 4D additive mask: full visibility of the (compacted) cache +
+    causal within the chunk. HF>=4.5x builds its default mask from
+    cache_position vs kv *indices*, which leaks future intra-chunk attention
+    once eviction opens a gap between true positions and cache length; the
+    original reference ran HF 4.36 whose mask was index-causal (correct)."""
+    m = torch.zeros(stride, past_len + stride)
+    tri = torch.triu(torch.ones(stride, stride, dtype=torch.bool), diagonal=1)
+    block = torch.zeros(stride, stride)
+    block[tri] = torch.finfo(torch.float32).min
+    m[:, past_len:] = block
+    return m[None, None]
+
+
 def _gqa_mean(attn, n_kv, rep):
     # (1, Hq, q, k) -> (Hkv, q, k), mean over the rep group (easykv.py:188-196)
     bs, hq, q, kk = attn.shape
@@ -86,11 +100,13 @@ def reference_budgeted_ppl(
     for token_i in range(r_idx, length, stride):
         chunk = input_ids[:, token_i : token_i + stride]
         pos_ids = torch.arange(cur_pos, cur_pos + stride).unsqueeze(0)
+        past_len = pkv.layers[0].keys.shape[2] if pkv.layers else 0
         with torch.no_grad():
             out = model(
                 input_ids=chunk, past_key_values=pkv, use_cache=True,
                 output_attentions=True, position_ids=pos_ids,
                 cache_position=pos_ids[0],
+                attention_mask=_chunk_causal_mask(past_len, stride),
             )
         pkv = out.past_key_values
         all_logits.append(out.logits[0])
@@ -242,5 +258,124 @@ def reference_decode_greedy(
             if policy == "roco":
                 scores_sq = compact(scores_sq)
                 counter = compact(counter)
+        cur_pos += 1
+    return out_ids
+
+
+def reference_encoding_greedy(
+    model, input_ids, budget=0.5, stride=4, policy="roco",
+    recent_ratio=0.1, sink_length=4, max_new_tokens=16,
+):
+    """The reference's encoding mode (easykv.py:367-529): strided prefill
+    with per-chunk eviction, then plain greedy decode WITHOUT eviction.
+    keep_attention=False path. Returns generated tokens."""
+    from transformers import DynamicCache
+
+    cfg = model.config
+    L = cfg.num_hidden_layers
+    Hkv = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // Hkv
+    length = input_ids.shape[-1]
+
+    if isinstance(budget, float):
+        budget = int(length * budget) + stride
+    else:
+        budget = int(budget) + stride
+    idx = 0
+    for i in range(budget, -1, -1):
+        if (length - i) % stride == 0:
+            idx = i
+            break
+    # encoding uses the DESCENDING scan (easykv.py:391-392)
+    r_idx = 0
+    for r in range(idx - 1, -1, -1):
+        if (idx - r) % stride == 0:
+            r_idx = r
+            break
+    recent_window = int(budget * recent_ratio)
+
+    pkv = DynamicCache()
+    with torch.no_grad():
+        out = model(input_ids=input_ids[:, :r_idx], use_cache=True,
+                    past_key_values=pkv)
+    pkv = out.past_key_values
+    logits_prev = out.logits[:, -1, :]
+
+    W = idx + stride
+    scores = torch.zeros(L, Hkv, W)
+    scores_sq = torch.zeros(L, Hkv, W)
+    counter = torch.cat([
+        torch.full((idx,), float(stride)),
+        torch.arange(stride, 0, -1, dtype=torch.float32),
+    ]) - float(stride)
+    counter = counter.unsqueeze(0).unsqueeze(0).repeat(L, Hkv, 1).clone()
+
+    cur_pos = r_idx
+    for token_i in range(r_idx, length, stride):
+        chunk = input_ids[:, token_i : token_i + stride]
+        pos_ids = torch.arange(cur_pos, cur_pos + stride).unsqueeze(0)
+        past_len = pkv.layers[0].keys.shape[2] if pkv.layers else 0
+        with torch.no_grad():
+            out = model(input_ids=chunk, past_key_values=pkv, use_cache=True,
+                        output_attentions=True, position_ids=pos_ids,
+                        cache_position=pos_ids[0],
+                        attention_mask=_chunk_causal_mask(past_len, stride))
+        pkv = out.past_key_values
+        logits_prev = out.logits[:, -1, :]
+        cur_kv = pkv.layers[0].keys.shape[2]
+        attn = [_gqa_mean(a.float(), Hkv, rep) for a in out.attentions]
+        if cur_kv > idx:
+            if policy in ("h2o_head", "roco"):
+                for l in range(L):
+                    am = attn[l].sum(dim=1)
+                    scores[l, :, : am.shape[-1]] += am
+                    if policy == "roco":
+                        scores_sq[l, :, : am.shape[-1]] += (attn[l] ** 2).sum(dim=1)
+            elif policy == "tova":
+                for l in range(L):
+                    am = attn[l][:, -1, :].mean(dim=0).unsqueeze(0).repeat(Hkv, 1)
+                    scores[l, :, : am.shape[-1]] = am
+            counter += float(stride)
+            if policy in ("h2o_head", "tova"):
+                ev = torch.topk(scores[:, :, sink_length:-recent_window],
+                                dim=-1, k=stride, largest=False)[1] + sink_length
+            elif policy == "roco":
+                std = torch.sqrt(scores_sq / counter - (scores / counter) ** 2)
+                std[:, :, -10:] = 1e9
+                std[:, :, :sink_length] = 1e9
+                k1 = max(budget - recent_window - sink_length, stride)
+                feas = torch.topk(std, largest=False, k=k1, dim=-1)[1]
+                avg = scores.gather(-1, feas) / counter.gather(-1, feas)
+                inner = torch.topk(avg, dim=-1, largest=False, k=stride)[1]
+                ev = feas.gather(-1, inner)
+            elif policy == "recency":
+                ev = (sink_length + torch.arange(stride)).view(1, 1, -1).repeat(L, Hkv, 1)
+            else:
+                raise ValueError(policy)
+            _evict_liso(pkv, ev)
+            ones = torch.ones(L * Hkv, W)
+            src = torch.zeros(L * Hkv, stride)
+            mask = ones.scatter(-1, ev.view(L * Hkv, -1).to(torch.int64), src).bool()
+            tail_c = (torch.arange(stride) - stride + 1).flip(0).float()
+            scores = torch.cat([scores.view(-1, W)[mask].view(L, Hkv, -1),
+                                torch.zeros(L, Hkv, stride)], dim=-1)
+            scores_sq = torch.cat([scores_sq.view(-1, W)[mask].view(L, Hkv, -1),
+                                   torch.zeros(L, Hkv, stride)], dim=-1)
+            counter = torch.cat([counter.view(-1, W)[mask].view(L, Hkv, -1),
+                                 tail_c.view(1, 1, -1).repeat(L, Hkv, 1)], dim=-1)
+        cur_pos += stride
+
+    # plain decode, NO eviction (easykv.py:508-526); cur_pos_id reset to length
+    cur_pos = length
+    out_ids = []
+    for _ in range(max_new_tokens):
+        tok = int(logits_prev.argmax(-1)[0])
+        out_ids.append(tok)
+        with torch.no_grad():
+            o = model(input_ids=torch.tensor([[tok]]), past_key_values=pkv,
+                      use_cache=True, position_ids=torch.tensor([[cur_pos]]),
+                      cache_position=torch.tensor([cur_pos]))
+        pkv = o.past_key_values
+        logits_prev = o.logits[:, -1, :]
         cur_pos += 1
     return out_ids
