@@ -113,3 +113,26 @@ def test_encoding_tokens_match_torch_reference(hf_model, policy):
         kv_mode="encoding", stride=12,
     )
     assert ours == ref, (policy, ours, ref)
+
+
+@pytest.mark.parametrize("policy", ["roco", "tova", "recency"])
+def test_encdec_tokens_match_torch_reference(hf_model, policy):
+    """encoding_decoding: unified budget across both phases, per-step silo
+    eviction through decode — exact token match."""
+    from torch_reference import reference_encdec_greedy
+
+    cfg, params = params_from_hf_model(hf_model, dtype=jnp.float32)
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, 96, size=(96,))
+    budget = 48
+    ref = reference_encdec_greedy(
+        hf_model, torch.tensor(ids[None]), budget=budget, stride=12,
+        policy=policy, max_new_tokens=12,
+    )
+    ours = generate(
+        CausalLM(cfg, params), ids,
+        {"budget": budget, "kv_policy": policy, "max_new_tokens": 12,
+         "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []},
+        kv_mode="encoding_decoding", stride=12,
+    )
+    assert ours == ref, (policy, ours, ref)

@@ -379,3 +379,160 @@ def reference_encoding_greedy(
         logits_prev = o.logits[:, -1, :]
         cur_pos += 1
     return out_ids
+
+
+def reference_encdec_greedy(
+    model, input_ids, budget, stride=4, policy="roco",
+    recent_ratio=0.1, sink_length=4, max_new_tokens=12,
+):
+    """The reference's encoding_decoding mode (easykv.py:530-753): int
+    budget (+stride unless >= length), tiny ascending-scan prefix, strided
+    prefill eviction, then decode with per-step silo eviction over the WHOLE
+    cache (prompt included), decode recent_ratio hard-coded 0.3."""
+    from transformers import DynamicCache
+
+    cfg = model.config
+    L = cfg.num_hidden_layers
+    Hkv = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // Hkv
+    length = input_ids.shape[-1]
+
+    budget = int(budget) + stride
+    if budget >= length:
+        budget -= stride
+    idx = 0
+    for i in range(budget, -1, -1):
+        if (length - i) % stride == 0:
+            idx = i
+            break
+    r_idx = idx - 1 if idx >= 1 else 0
+    for r in range(1, idx):
+        if (idx - r) % stride == 0:
+            r_idx = r
+            break
+    recent_window = int(budget * recent_ratio)
+
+    pkv = DynamicCache()
+    with torch.no_grad():
+        out = model(input_ids=input_ids[:, :r_idx], use_cache=True,
+                    past_key_values=pkv)
+    pkv = out.past_key_values
+    logits_prev = out.logits[:, -1, :]
+
+    W = idx + stride
+    scores = torch.zeros(L, Hkv, W)
+    scores_sq = torch.zeros(L, Hkv, W)
+    counter = torch.cat([
+        torch.full((idx,), float(stride)),
+        torch.arange(stride, 0, -1, dtype=torch.float32),
+    ]) - float(stride)
+    counter = counter.unsqueeze(0).unsqueeze(0).repeat(L, Hkv, 1).clone()
+
+    cur_pos = r_idx
+    for token_i in range(r_idx, length, stride):
+        chunk = input_ids[:, token_i : token_i + stride]
+        pos_ids = torch.arange(cur_pos, cur_pos + stride).unsqueeze(0)
+        past_len = pkv.layers[0].keys.shape[2] if pkv.layers else 0
+        with torch.no_grad():
+            out = model(input_ids=chunk, past_key_values=pkv, use_cache=True,
+                        output_attentions=True, position_ids=pos_ids,
+                        cache_position=pos_ids[0],
+                        attention_mask=_chunk_causal_mask(past_len, stride))
+        pkv = out.past_key_values
+        logits_prev = out.logits[:, -1, :]
+        cur_kv = pkv.layers[0].keys.shape[2]
+        attn = [_gqa_mean(a.float(), Hkv, rep) for a in out.attentions]
+        if cur_kv > idx:
+            if policy in ("h2o_head", "roco"):
+                for l in range(L):
+                    am = attn[l].sum(dim=1)
+                    scores[l, :, : am.shape[-1]] += am
+                    if policy == "roco":
+                        scores_sq[l, :, : am.shape[-1]] += (attn[l] ** 2).sum(dim=1)
+            elif policy == "tova":
+                for l in range(L):
+                    am = attn[l][:, -1, :].mean(dim=0).unsqueeze(0).repeat(Hkv, 1)
+                    scores[l, :, : am.shape[-1]] = am
+            counter += float(stride)
+            if policy == "tova":
+                ev = torch.topk(scores[:, :, sink_length:-recent_window],
+                                dim=-1, k=stride, largest=False)[1] + sink_length
+            elif policy == "roco":
+                std = torch.sqrt(scores_sq / counter - (scores / counter) ** 2)
+                std[:, :, -10:] = 1e9
+                std[:, :, :sink_length] = 1e9
+                k1 = max(budget - recent_window - sink_length, stride)
+                feas = torch.topk(std, largest=False, k=k1, dim=-1)[1]
+                avg = scores.gather(-1, feas) / counter.gather(-1, feas)
+                inner = torch.topk(avg, dim=-1, largest=False, k=stride)[1]
+                ev = feas.gather(-1, inner)
+            elif policy == "recency":
+                ev = (sink_length + torch.arange(stride)).view(1, 1, -1).repeat(L, Hkv, 1)
+            else:
+                raise ValueError(policy)
+            _evict_liso(pkv, ev)
+            ones = torch.ones(L * Hkv, W)
+            src = torch.zeros(L * Hkv, stride)
+            mask = ones.scatter(-1, ev.view(L * Hkv, -1).to(torch.int64), src).bool()
+            tail_c = (torch.arange(stride) - stride + 1).flip(0).float()
+            scores = torch.cat([scores.view(-1, W)[mask].view(L, Hkv, -1),
+                                torch.zeros(L, Hkv, stride)], dim=-1)
+            scores_sq = torch.cat([scores_sq.view(-1, W)[mask].view(L, Hkv, -1),
+                                   torch.zeros(L, Hkv, stride)], dim=-1)
+            counter = torch.cat([counter.view(-1, W)[mask].view(L, Hkv, -1),
+                                 tail_c.view(1, 1, -1).repeat(L, Hkv, 1)], dim=-1)
+        cur_pos += stride
+
+    # trim by stride-1 (easykv.py:666-669) then decode with per-step eviction
+    if stride > 1:
+        scores = scores[:, :, : -(stride - 1)]
+        scores_sq = scores_sq[:, :, : -(stride - 1)]
+        counter = counter[:, :, : -(stride - 1)]
+    W2 = scores.shape[-1]
+    cur_pos = length
+    recent_window = int(budget * 0.3)  # easykv.py:709-710
+    out_ids = []
+    for _ in range(max_new_tokens):
+        tok = int(logits_prev.argmax(-1)[0])
+        out_ids.append(tok)
+        with torch.no_grad():
+            o = model(input_ids=torch.tensor([[tok]]), past_key_values=pkv,
+                      use_cache=True, output_attentions=True,
+                      position_ids=torch.tensor([[cur_pos]]),
+                      cache_position=torch.tensor([cur_pos]))
+        pkv = o.past_key_values
+        logits_prev = o.logits[:, -1, :]
+        attn = [_gqa_mean(a.float(), Hkv, rep) for a in o.attentions]
+        for l in range(L):
+            am = attn[l][:, 0, :]
+            if policy == "roco":
+                scores[l, :, : am.shape[-1]] += am
+                scores_sq[l, :, : am.shape[-1]] += am ** 2
+            elif policy == "tova":
+                scores[l, :, : am.shape[-1]] = am
+        counter += 1.0
+        if policy == "roco":
+            std = torch.sqrt(scores_sq / counter - (scores / counter) ** 2)
+            std[:, :, -10:] = 1e9
+            feas = torch.topk(std, largest=False, k=budget - recent_window,
+                              dim=-1)[1]
+            avg = scores.gather(-1, feas) / counter.gather(-1, feas)
+            ev = feas.gather(-1, avg.argmin(-1, keepdim=True)).squeeze(-1)
+        elif policy == "tova":
+            ev = scores.argmin(dim=-1)
+        elif policy == "recency":
+            ev = torch.full((L, Hkv), sink_length, dtype=torch.int64)
+        else:
+            raise ValueError(policy)
+        _evict_liso(pkv, ev.unsqueeze(-1))
+        idxs = torch.arange(W2).view(1, 1, -1).repeat(L, Hkv, 1)
+        mask = (ev.unsqueeze(-1) != idxs).view(-1, W2)
+        def compact(t, fill=0.0):
+            return torch.cat([t.view(-1, W2)[mask].view(L, Hkv, W2 - 1),
+                              torch.full((L, Hkv, 1), fill)], dim=-1)
+        scores = compact(scores)
+        if policy == "roco":
+            scores_sq = compact(scores_sq)
+            counter = compact(counter)
+        cur_pos += 1
+    return out_ids
