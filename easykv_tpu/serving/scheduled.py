@@ -74,7 +74,10 @@ class ScheduledBatchEngine:
         self.requests[req.request_id] = req
         ids = np.asarray(req.ids, np.int32)
         n_chunks = (len(ids) + self.pc - 1) // self.pc
-        pad = np.zeros(max(n_chunks, 1) * self.pc, np.int32)
+        # one extra pc of padding: scheduler windows may start mid-chunk
+        # (budget remainder spill), so any start in [0, T) must slice a full
+        # pc-wide window
+        pad = np.zeros((max(n_chunks, 1) + 1) * self.pc, np.int32)
         pad[: len(ids)] = ids
         self.ids_pad[req.request_id] = pad
         self.sched.submit(req.request_id, len(ids), req.max_new_tokens)
