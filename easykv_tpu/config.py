@@ -9,7 +9,7 @@ eos_token_ids.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Mapping, Optional, Sequence, Tuple
+from typing import Any, Mapping, Optional, Tuple
 
 # Eviction policies supported by the engine. `h2o_head_std_avg` and
 # `h2o_head_decay_avg_std` are legacy aliases of `roco` used by the

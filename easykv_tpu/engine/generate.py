@@ -31,16 +31,15 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import math
 import time
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..cache import KVCache, init_cache
-from ..config import GenerationConfig, ModelConfig, canonical_policy
+from ..config import GenerationConfig, ModelConfig
 from ..models import llama
 from ..models.llama import StepCtx
 from ..policies import (

@@ -16,13 +16,12 @@ layer's cache is only read by that layer, once per step.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..cache import KVCache, LayerCache, evict_slots, kv_dequant, write_tokens
+from ..cache import KVCache, LayerCache, kv_dequant, write_tokens
 from ..config import ModelConfig
 from ..ops.attention import attend
 from ..ops.quant import mm

@@ -20,7 +20,7 @@ S_tile-innermost iterations.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

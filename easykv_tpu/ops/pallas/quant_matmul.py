@@ -13,8 +13,6 @@ chunks); larger M falls back to the XLA path in ops/quant.mm.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -17,7 +17,6 @@ transfers); a Pallas double-buffered variant is a later optimization.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

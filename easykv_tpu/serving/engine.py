@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..cache import KVCache, init_cache
-from ..config import GenerationConfig, ModelConfig, canonical_policy
+from ..config import ModelConfig, canonical_policy
 from ..models import llama
 from ..models.llama import StepCtx
 from ..policies import PHASE_DECODE, PolicySpec

@@ -9,7 +9,7 @@ long prompt cannot stall in-flight generations for more than one chunk.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
