@@ -2,9 +2,9 @@
 
 Mirrors the BASELINE.json target ("LLaMa2-7B decoding at budget=200 ...
 sustaining >=90% of full-cache tokens/s/chip"): LLaMa2-7B with int8 (w8a16)
-weights — bf16 7B does not fit a 16 GB v5e chip — decoding 384 tokens from a
-512-token prompt with the roco policy at budget=200 (so ~184 eviction events
-run in steady state) vs policy='full'.
+weights — bf16 7B does not fit a 16 GB v5e chip — and the int8 compressed-KV
+cache, decoding 384 tokens from a 512-token prompt with the roco policy at
+budget=200 (so ~184 eviction events run in steady state) vs policy='full'.
 
 Prints exactly ONE JSON line to stdout; progress goes to stderr.
 On CPU (no TPU attached) a small config is used so the bench still runs.
@@ -73,12 +73,15 @@ def main():
             max_position_embeddings=4096,
         )
         prompt_len, gen_tokens, budget = 512, 384, 200
-        name = "llama2_7b_int8"
+        name = "llama2_7b_int8w_int8kv"
         t0 = time.time()
         params = fake_int8_params(cfg)
         jax.block_until_ready(params)
         log(f"7B int8 params built in {time.time()-t0:.1f}s")
-        model = CausalLM(cfg, params, dtype="bfloat16")
+        # int8 weights + int8 compressed-KV: the production configuration —
+        # measured FASTER than bf16 KV at 7B (70.6 vs 63.8 tok/s; the Pallas
+        # decode kernel streams KV at half the bytes)
+        model = CausalLM(cfg, params, dtype="bfloat16", kv_quant=True)
     else:
         cfg = ModelConfig(
             vocab_size=1024, hidden_size=256, intermediate_size=688,
