@@ -136,3 +136,26 @@ def test_encdec_tokens_match_torch_reference(hf_model, policy):
         kv_mode="encoding_decoding", stride=12,
     )
     assert ours == ref, (policy, ours, ref)
+
+
+@pytest.mark.parametrize("policy", ["roco", "h2o_head"])
+def test_encoding_keep_attention_matches_torch_reference(hf_model, policy):
+    """keep_attention=True: prefix score bootstrap + always-on score updates
+    during the grow phase — exact token match."""
+    from torch_reference import reference_encoding_greedy
+
+    cfg, params = params_from_hf_model(hf_model, dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    ids = rng.integers(0, 96, size=(96,))
+    ref = reference_encoding_greedy(
+        hf_model, torch.tensor(ids[None]), budget=0.5, stride=12,
+        policy=policy, max_new_tokens=12, keep_attention=True,
+    )
+    ours = generate(
+        CausalLM(cfg, params), ids,
+        {"budget": 0.5, "kv_policy": policy, "max_new_tokens": 12,
+         "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": [],
+         "keep_attention": True},
+        kv_mode="encoding", stride=12,
+    )
+    assert ours == ref, (policy, ours, ref)

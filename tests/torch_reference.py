@@ -265,6 +265,7 @@ def reference_decode_greedy(
 def reference_encoding_greedy(
     model, input_ids, budget=0.5, stride=4, policy="roco",
     recent_ratio=0.1, sink_length=4, max_new_tokens=16,
+    keep_attention=False,
 ):
     """The reference's encoding mode (easykv.py:367-529): strided prefill
     with per-chunk eviction, then plain greedy decode WITHOUT eviction.
@@ -297,18 +298,30 @@ def reference_encoding_greedy(
     pkv = DynamicCache()
     with torch.no_grad():
         out = model(input_ids=input_ids[:, :r_idx], use_cache=True,
-                    past_key_values=pkv)
+                    past_key_values=pkv,
+                    output_attentions=keep_attention)
     pkv = out.past_key_values
     logits_prev = out.logits[:, -1, :]
 
     W = idx + stride
     scores = torch.zeros(L, Hkv, W)
     scores_sq = torch.zeros(L, Hkv, W)
-    counter = torch.cat([
-        torch.full((idx,), float(stride)),
-        torch.arange(stride, 0, -1, dtype=torch.float32),
-    ]) - float(stride)
-    counter = counter.unsqueeze(0).unsqueeze(0).repeat(L, Hkv, 1).clone()
+    if keep_attention:
+        # h2o_head_score bootstrap (easykv.py:173-186): per-row prob sums
+        # (and squares) from the prefix attention maps
+        for l, a in enumerate(out.attentions):
+            am = _gqa_mean(a.float(), Hkv, rep)       # (Hkv, r_idx, r_idx)
+            scores[l, :, :r_idx] = am.sum(dim=1)
+            scores_sq[l, :, :r_idx] = (am ** 2).sum(dim=1)
+        # counter init (easykv.py:413-414): cumsum(ones).flip() - stride
+        counter = (torch.arange(W, 0, -1, dtype=torch.float32) - float(stride))
+        counter = counter.unsqueeze(0).unsqueeze(0).repeat(L, Hkv, 1).clone()
+    else:
+        counter = torch.cat([
+            torch.full((idx,), float(stride)),
+            torch.arange(stride, 0, -1, dtype=torch.float32),
+        ]) - float(stride)
+        counter = counter.unsqueeze(0).unsqueeze(0).repeat(L, Hkv, 1).clone()
 
     cur_pos = r_idx
     for token_i in range(r_idx, length, stride):
@@ -324,7 +337,9 @@ def reference_encoding_greedy(
         logits_prev = out.logits[:, -1, :]
         cur_kv = pkv.layers[0].keys.shape[2]
         attn = [_gqa_mean(a.float(), Hkv, rep) for a in out.attentions]
-        if cur_kv > idx:
+        if cur_kv > idx or keep_attention:
+            # score updates also run during the grow phase when
+            # keep_attention (reference easykv.py:443)
             if policy in ("h2o_head", "roco"):
                 for l in range(L):
                     am = attn[l].sum(dim=1)
@@ -335,6 +350,8 @@ def reference_encoding_greedy(
                 for l in range(L):
                     am = attn[l][:, -1, :].mean(dim=0).unsqueeze(0).repeat(Hkv, 1)
                     scores[l, :, : am.shape[-1]] = am
+        if cur_kv > idx:
+            # eviction only once over budget (reference easykv.py:459)
             counter += float(stride)
             if policy in ("h2o_head", "tova"):
                 ev = torch.topk(scores[:, :, sink_length:-recent_window],
