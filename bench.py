@@ -14,6 +14,13 @@ import sys
 import time
 
 import jax
+
+# persistent compilation cache: the budgeted 7B graph takes minutes through
+# the remote-compile service; repeated runs (e.g. the round driver) hit the
+# cache instead
+jax.config.update("jax_compilation_cache_dir", "/tmp/easykv_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 import jax.numpy as jnp
 import numpy as np
 
