@@ -149,6 +149,11 @@ def free_slot_ids(pos: jax.Array, count: int) -> jax.Array:
     # Invalid slots get a large positive key, minus the slot index so that
     # lower indices sort first; valid slots sort last.
     sort_key = jnp.where(pos < 0, 2 * S - slot_idx, 0)
+    if count > 8:
+        # Sort instead of top_k for large counts: TPU top_k lowering (and
+        # compile time) scales with k, a bitonic sort is a fixed network.
+        _, ids = jax.lax.sort_key_val(-sort_key, slot_idx, is_stable=True)
+        return ids[..., :count].astype(jnp.int32)
     _, ids = jax.lax.top_k(sort_key, count)
     return ids.astype(jnp.int32)
 
@@ -262,15 +267,27 @@ def evict_slots_merged(
     v_ev = jnp.take_along_axis(cache.v, evict_ids[..., None], axis=2)
     k_mean = jnp.mean(k_ev.astype(jnp.float32), axis=2).astype(cache.k.dtype)
     v_mean = jnp.mean(v_ev.astype(jnp.float32), axis=2).astype(cache.v.dtype)
-    # invalidate all evicted slots, then revive the first with the mean
+    # invalidate all evicted slots, then revive the first with the mean.
+    # (The reference appends the merged vector at the buffer end,
+    # easykv.py:96-99; with slot semantics the merged vector instead keeps
+    # the first evicted slot and its position id — recency ordering of the
+    # merged entry therefore follows the evicted span, not "most recent".)
     out = evict_slots(cache, evict_ids, gate)
     first = evict_ids[:, :, :1]
     pos_first = jnp.take_along_axis(cache.pos, first, axis=-1)
+    k_new = k_mean[:, :, None]
+    v_new = v_mean[:, :, None]
     if gate is not None:
-        pos_first = jnp.where(gate[:, None, None], pos_first, -1)
+        # Rows with gate=False must be left untouched: write back their
+        # current pos/K/V instead of the merged values.
+        g = gate[:, None, None, None]
+        k_cur = jnp.take_along_axis(cache.k, first[..., None], axis=2)
+        v_cur = jnp.take_along_axis(cache.v, first[..., None], axis=2)
+        k_new = jnp.where(g, k_new, k_cur)
+        v_new = jnp.where(g, v_new, v_cur)
     return out._replace(
-        k=out.k.at[b_ix, h_ix, first].set(k_mean[:, :, None]),
-        v=out.v.at[b_ix, h_ix, first].set(v_mean[:, :, None]),
+        k=out.k.at[b_ix, h_ix, first].set(k_new),
+        v=out.v.at[b_ix, h_ix, first].set(v_new),
         pos=out.pos.at[b_ix, h_ix, first].set(pos_first),
     )
 

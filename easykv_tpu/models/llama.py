@@ -21,9 +21,16 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..cache import KVCache, LayerCache, kv_dequant, write_tokens
+from ..cache import (
+    KVCache,
+    LayerCache,
+    free_slot_ids,
+    kv_dequant,
+    quantize_kv,
+    write_tokens,
+)
 from ..config import ModelConfig
-from ..ops.attention import attend
+from ..ops.attention import attend, attend_inflight
 from ..ops.quant import mm
 from ..ops.rope import apply_rope, rope_base_for, rope_inv_freq
 from ..policies import PolicySpec, update_scores, update_scores_reduced
@@ -107,6 +114,13 @@ def forward(
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk through all layers. Returns (logits (B, C, V) f32, new cache)."""
     B, C = token_ids.shape
+    if C == 1 and not streaming and not bootstrap:
+        # Late-write decode fast path: the new token's K/V joins attention
+        # in-flight; all layers' cache writes collapse into one batched
+        # scatter after the scan (8 scatters + 1 select per STEP instead of
+        # per LAYER — the write-scatter/free-slot small-ops were the top
+        # diagnosed decode overhead, RESULTS.md "Known headroom").
+        return _decode_forward(params, cfg, cache, token_ids, ctx, spec)
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
@@ -196,12 +210,167 @@ def forward(
         return h, tuple(cl)
 
     h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
+    return _logits_tail(h, params, cfg), KVCache(*new_cache)
+
+
+def _logits_tail(h: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
-        logits = (h @ params["embed"].T).astype(jnp.float32)
+        return (h @ params["embed"].T).astype(jnp.float32)
+    return _lm_head(h, params["lm_head"]).astype(jnp.float32)
+
+
+def _decode_forward(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    token_ids: jax.Array,        # (B, 1)
+    ctx: StepCtx,
+    spec: Optional[PolicySpec],
+) -> Tuple[jax.Array, KVCache]:
+    """Single-token decode with late cache write.
+
+    The layer scan reads the cache but never writes it: the current token's
+    K/V joins the softmax directly (attend_inflight / the Pallas inflight
+    kernel), and the scan emits each layer's (k_new, v_new, probs, p_new).
+    One batched scatter then writes all L layers' K/V + sidecars at free
+    slots selected by a single (L·B)-folded top_k. Semantically identical to
+    write-then-attend (the in-flight probability IS the new slot's row) —
+    verified slot-exact by the oracle lockstep suite.
+    """
+    B, C = token_ids.shape
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    L, _, _, S = cache.pos.shape
+    inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
+    scale = cfg.head_dim ** -0.5
+    use_kernel = cfg.sliding_window is None and _pallas_enabled()
+
+    # One batched free-slot select for all layers (replaces L in-scan top_ks).
+    ids_all = free_slot_ids(cache.pos.reshape(L * B, Hkv, S), 1)
+    ids_all = ids_all.reshape(L, B, Hkv, 1)
+
+    h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
+    q_pos = ctx.q_pos  # (B, 1)
+
+    def layer(h, xs):
+        p, cl = xs
+        cl = LayerCache(*cl)
+        x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
+        q = mm(x, p["wq"]).reshape(B, 1, Hq, Dh).transpose(0, 2, 1, 3)
+        k = mm(x, p["wk"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = mm(x, p["wv"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = apply_rope(q, q_pos[:, None, :], inv_freq)
+        k = apply_rope(k, q_pos[:, None, :], inv_freq)
+
+        if use_kernel:
+            from ..ops.pallas import fused_decode_attend_inflight
+
+            out, probs_kv, p_new = fused_decode_attend_inflight(
+                q, k, v, cl.k, cl.v, cl.pos, q_pos[:, 0],
+                k_scale=cl.k_scale if cl.quantized else None,
+                v_scale=cl.v_scale if cl.quantized else None,
+            )
+        else:
+            k_raw, v_raw = kv_dequant(cl, h.dtype)
+            out, probs_kv, p_new = attend_inflight(
+                q, k, v, k_raw, v_raw, cl.pos, q_pos[:, 0],
+                sliding_window=cfg.sliding_window, scale=scale,
+            )
+
+        attn_out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * Dh)
+        h = h + mm(attn_out, p["wo"])
+        x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
+        h = h + mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
+        return h, (k, v, probs_kv[:, :, 0, :], p_new)
+
+    h, (kn, vn, probs, p_new) = jax.lax.scan(
+        layer, h, (params["layers"], tuple(cache))
+    )
+    new_cache = _decode_write(cache, ids_all, kn, vn, probs, p_new, ctx, spec)
+    return _logits_tail(h, params, cfg), new_cache
+
+
+def _decode_write(
+    cache: KVCache,
+    ids: jax.Array,      # (L, B, H, 1) write slots
+    kn: jax.Array,       # (L, B, H, 1, D) rotated, unquantized
+    vn: jax.Array,       # (L, B, H, 1, D)
+    probs: jax.Array,    # (L, B, H, S) f32 GQA-mean probs over cached slots
+    p_new: jax.Array,    # (L, B, H, 1) f32 in-flight token's probability
+    ctx: StepCtx,
+    spec: Optional[PolicySpec],
+) -> KVCache:
+    """Batched score update + cache write for all layers of a decode step.
+
+    Reproduces write_tokens + update_scores (reference easykv.py:288-300
+    score updates; compaction-append semantics) in one pass: old slots get
+    the probability-row update, the written slot gets the in-flight
+    probability as its fresh score (== what write-then-attend produces)."""
+    L, B, H, S = cache.pos.shape
+    live = ctx.token_valid[:, 0]                       # (B,)
+    gate = ctx.update_gate.astype(jnp.float32)         # scalar
+
+    # Old-slot score updates (policies.update_scores semantics). probs is
+    # exactly zero at invalid slots (masked softmax), so the stale value at
+    # the about-to-be-written slot is untouched here and overwritten below.
+    score, score_sq = cache.score, cache.score_sq
+    s_new = jnp.zeros_like(p_new)
+    sq_new = jnp.zeros_like(p_new)
+    if spec is not None and spec.policy in ("h2o_head", "roco"):
+        score = score + probs * gate
+        s_new = p_new * gate
+        if spec.policy == "roco":
+            score_sq = score_sq + probs * probs * gate
+            sq_new = p_new * p_new * gate
+    elif spec is not None and spec.policy == "tova":
+        # decode phases use per-head last-token attention (easykv.py:297-300,
+        # :617-618); the encode-phase head-mean never reaches this path.
+        score = jnp.where(ctx.update_gate, probs, score)
+        s_new = p_new * gate
+
+    l_ix = jnp.arange(L)[:, None, None, None]
+    b_ix = jnp.arange(B)[None, :, None, None]
+    h_ix = jnp.arange(H)[None, None, :, None]
+    lv = live[None, :, None, None]                     # (1, B, 1, 1)
+    cur = lambda arr: jnp.take_along_axis(arr, ids, axis=3)
+
+    pos_b = jnp.broadcast_to(ctx.q_pos[None, :, None, :], (L, B, H, 1))
+    cnt_b = jnp.broadcast_to(ctx.counter_init[None, :, None, :], (L, B, H, 1))
+    pos_w = jnp.where(lv, pos_b, cur(cache.pos))
+    cnt_w = jnp.where(lv, cnt_b, cur(cache.counter))
+    s_w = jnp.where(lv, s_new, cur(score))
+    sq_w = jnp.where(lv, sq_new, cur(score_sq))
+
+    quantized = cache.k.dtype == jnp.int8
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if quantized:
+        knq, k_sc = quantize_kv(kn)
+        vnq, v_sc = quantize_kv(vn)
+        k_w = jnp.where(lv[..., None], knq, cur4(cache.k, ids))
+        v_w = jnp.where(lv[..., None], vnq, cur4(cache.v, ids))
+        ksc_w = jnp.where(lv, k_sc, cur(cache.k_scale))
+        vsc_w = jnp.where(lv, v_sc, cur(cache.v_scale))
+        k_scale = k_scale.at[l_ix, b_ix, h_ix, ids].set(ksc_w)
+        v_scale = v_scale.at[l_ix, b_ix, h_ix, ids].set(vsc_w)
     else:
-        logits = _lm_head(h, params["lm_head"]).astype(jnp.float32)
-    return logits, KVCache(*new_cache)
+        k_w = jnp.where(lv[..., None], kn.astype(cache.k.dtype), cur4(cache.k, ids))
+        v_w = jnp.where(lv[..., None], vn.astype(cache.v.dtype), cur4(cache.v, ids))
+
+    return cache._replace(
+        k=cache.k.at[l_ix, b_ix, h_ix, ids].set(k_w),
+        v=cache.v.at[l_ix, b_ix, h_ix, ids].set(v_w),
+        pos=cache.pos.at[l_ix, b_ix, h_ix, ids].set(pos_w),
+        score=score.at[l_ix, b_ix, h_ix, ids].set(s_w),
+        score_sq=score_sq.at[l_ix, b_ix, h_ix, ids].set(sq_w),
+        counter=cache.counter.at[l_ix, b_ix, h_ix, ids].set(cnt_w),
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+
+
+def cur4(arr: jax.Array, ids: jax.Array) -> jax.Array:
+    """take_along_axis for the (L, B, H, S, D) buffers at (L, B, H, 1) ids."""
+    return jnp.take_along_axis(arr, ids[..., None], axis=3)
 
 
 def _lm_head(h: jax.Array, head) -> jax.Array:

@@ -46,6 +46,16 @@ def _np_dtype(st_dtype: str) -> np.dtype:
         raise ValueError(f"unsupported safetensors dtype {st_dtype!r}") from None
 
 
+class _MmapView(np.ndarray):
+    """ndarray subclass whose instances pin the owning SafetensorsFile.
+
+    Views derived from an _MmapView keep it alive through their `.base`
+    chain, so the mmap cannot be unmapped while any view circulates.
+    """
+
+    _st_owner = None
+
+
 _lib = None
 
 
@@ -114,7 +124,14 @@ class SafetensorsFile:
             yield self._lib.st_tensor_name(self._h, i).decode()
 
     def tensor(self, name: str) -> np.ndarray:
-        """Zero-copy view; valid while the file object is alive."""
+        """Zero-copy view into the mapping.
+
+        The returned array (an ndarray subclass) holds a reference to this
+        SafetensorsFile, so the mapping stays alive as long as the view —
+        or any view derived from it — circulates. Calling close() while
+        views are live still invalidates them; close() is for explicit
+        early release only.
+        """
         dtype_buf = ctypes.create_string_buffer(16)
         shape = (ctypes.c_int64 * 8)()
         nbytes = ctypes.c_int64()
@@ -126,9 +143,9 @@ class SafetensorsFile:
         dt = _np_dtype(dtype_buf.value.decode())
         shp = tuple(shape[i] for i in range(ndim))
         buf = (ctypes.c_char * nbytes.value).from_address(ptr)
-        arr = np.frombuffer(buf, dtype=dt).reshape(shp)
+        arr = np.frombuffer(buf, dtype=dt).reshape(shp).view(_MmapView)
+        arr._st_owner = self
         arr.flags.writeable = False
-        self._owner = self  # keep mapping alive as long as views circulate
         return arr
 
     def items(self) -> Iterator[Tuple[str, np.ndarray]]:

@@ -1,3 +1,3 @@
-from .decode_attention import fused_decode_attend
+from .decode_attention import fused_decode_attend, fused_decode_attend_inflight
 
-__all__ = ["fused_decode_attend"]
+__all__ = ["fused_decode_attend", "fused_decode_attend_inflight"]

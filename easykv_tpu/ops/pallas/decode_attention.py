@@ -66,6 +66,140 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
     probs_ref[0, 0] = jnp.mean(p, axis=0, keepdims=True)  # (1, S) GQA mean
 
 
+def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
+                     *rest, scale, quant):
+    """_kernel plus an in-flight (not yet cached) token: its logit joins the
+    softmax and its value joins the output; emits the GQA-mean probability of
+    both the cached slots and the in-flight token (late-write decode path)."""
+    if quant:
+        ksc_ref, vsc_ref, out_ref, probs_ref, pnew_ref = rest
+    else:
+        out_ref, probs_ref, pnew_ref = rest
+    b = pl.program_id(0)
+    q = q_ref[0, 0].astype(jnp.float32)          # (rep, D)
+    kn = kn_ref[0, 0].astype(jnp.float32)        # (1, D)
+    vn = vn_ref[0, 0].astype(jnp.float32)        # (1, D)
+    k = k_ref[0, 0].astype(jnp.float32)          # (S, D)
+    v = v_ref[0, 0]                              # (S, D)
+    pos = pos_ref[0, 0]                          # (1, S)
+    q_pos = qpos_ref[b]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                     # (rep, S)
+    if quant:
+        logits = logits * ksc_ref[0, 0]
+    logit_new = jax.lax.dot_general(
+        q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                     # (rep, 1)
+    mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
+    live = q_pos >= 0
+    logits = jnp.where(mask, logits, NEG_INF)
+    logit_new = jnp.where(live, logit_new, NEG_INF)
+    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), logit_new)
+    e = jnp.where(mask, jnp.exp(logits - m), 0.0)
+    e_new = jnp.where(live, jnp.exp(logit_new - m), 0.0)
+    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
+    p = e / denom                                 # (rep, S)
+    p_new = e_new / denom                         # (rep, 1)
+
+    pv = p * vsc_ref[0, 0] if quant else p
+    out = jax.lax.dot_general(
+        pv, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + p_new * vn                                # (rep, D)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    probs_ref[0, 0] = jnp.mean(p, axis=0, keepdims=True)       # (1, S)
+    pnew_ref[0, 0] = jnp.broadcast_to(
+        jnp.mean(p_new, axis=0, keepdims=True), pnew_ref.shape[2:]
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_decode_attend_inflight(
+    q: jax.Array,       # (B, Hq, 1, D)
+    k_new: jax.Array,   # (B, Hkv, 1, D) unquantized, rotated
+    v_new: jax.Array,   # (B, Hkv, 1, D)
+    k: jax.Array,       # (B, Hkv, S, D) compute dtype or int8
+    v: jax.Array,       # (B, Hkv, S, D)
+    kv_pos: jax.Array,  # (B, Hkv, S) int32
+    q_pos: jax.Array,   # (B,) int32
+    k_scale: Optional[jax.Array] = None,  # (B, Hkv, S) f32 when int8
+    v_scale: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Late-write decode attention: the current token's K/V is passed
+    directly instead of being scattered into the cache first. Returns
+    (out (B, Hq, 1, D), probs_kv (B, Hkv, 1, S) f32, p_new (B, Hkv, 1) f32);
+    see ops.attention.attend_inflight for the semantics."""
+    B, Hq, T, D = q.shape
+    assert T == 1
+    Hkv, S = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    scale = D ** -0.5
+    quant = k_scale is not None
+
+    S_pad = ((S + 127) // 128) * 128
+    if S_pad != S:
+        pad = [(0, 0), (0, 0), (0, S_pad - S), (0, 0)]
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+        kv_pos = jnp.pad(kv_pos, [(0, 0), (0, 0), (0, S_pad - S)],
+                         constant_values=-1)
+        if quant:
+            k_scale = jnp.pad(k_scale, [(0, 0), (0, 0), (0, S_pad - S)])
+            v_scale = jnp.pad(v_scale, [(0, 0), (0, 0), (0, S_pad - S)])
+
+    qg = q.reshape(B, Hkv, rep, D)
+    pos4 = kv_pos[:, :, None, :]
+
+    def spec4(shape):
+        return pl.BlockSpec(shape, lambda b, h, qp: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        spec4((1, 1, rep, D)),
+        spec4((1, 1, 1, D)),
+        spec4((1, 1, 1, D)),
+        spec4((1, 1, S_pad, D)),
+        spec4((1, 1, S_pad, D)),
+        spec4((1, 1, 1, S_pad)),
+    ]
+    inputs = [qg, k_new, v_new, k, v, pos4]
+    if quant:
+        in_specs += [spec4((1, 1, 1, S_pad)), spec4((1, 1, 1, S_pad))]
+        inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=in_specs,
+        out_specs=[spec4((1, 1, rep, D)), spec4((1, 1, 1, S_pad)),
+                   spec4((1, 1, 1, 128))],
+    )
+    out, probs, pnew = pl.pallas_call(
+        functools.partial(_kernel_inflight, scale=scale, quant=quant),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Hkv * rep * S_pad * D * 2,
+            bytes_accessed=B * Hkv * S_pad * D * 2 * k.dtype.itemsize,
+            transcendentals=B * Hkv * rep * S_pad,
+        ),
+        interpret=interpret,
+    )(q_pos, *inputs)
+
+    out = out.reshape(B, Hq, 1, D)
+    return out, probs[:, :, :, :S], pnew[:, :, 0, 0][:, :, None]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_decode_attend(
     q: jax.Array,       # (B, Hq, 1, D)

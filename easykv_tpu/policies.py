@@ -57,13 +57,28 @@ class PolicySpec:
     protect_prompt: bool = False  # decode mode: only generated slots evictable
 
 
+# Above this k, selection switches from lax.top_k to a full bitonic sort:
+# TPU top_k lowering (and its compile time) scales with k, while a sort is a
+# fixed-size network — the budgeted decode graph compiled ~25x slower than
+# full-cache purely from a k~140 top_k inside the while_loop (RESULTS.md).
+_SORT_SELECT_K = 8
+
+
 def _smallest_k(
     values: jax.Array, mask: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
     """Indices (and values) of the k smallest `values` where `mask`, per the
     leading batch dims. Ties break toward the lower slot index, matching
-    torch.topk/argmin first-occurrence behavior."""
+    torch.topk/argmin first-occurrence behavior (stable ascending sort has
+    the same tie order)."""
     masked = jnp.where(mask, values.astype(jnp.float32), jnp.float32(jnp.inf))
+    if k > _SORT_SELECT_K:
+        vals, ids = jax.lax.sort_key_val(
+            masked,
+            jax.lax.broadcasted_iota(jnp.int32, masked.shape, masked.ndim - 1),
+            is_stable=True,
+        )
+        return ids[..., :k].astype(jnp.int32), vals[..., :k]
     neg_vals, ids = jax.lax.top_k(-masked, k)
     return ids.astype(jnp.int32), -neg_vals
 
@@ -86,11 +101,18 @@ def _slots_at_ranks(
         sorted_pos, (ranks[:, :1, -1:]).repeat(H, axis=1), axis=-1
     )
     span = cand & (pos >= lo) & (pos <= hi)
-    _, ids = jax.lax.top_k(
+    key = (
         span.astype(jnp.int32) * (2 * S)
-        - jax.lax.broadcasted_iota(jnp.int32, pos.shape, dimension=2),
-        k,
+        - jax.lax.broadcasted_iota(jnp.int32, pos.shape, dimension=2)
     )
+    if k > _SORT_SELECT_K:
+        # Descending sort of the span key == span slots in ascending slot
+        # order first (sort instead of top_k: compile time, see _smallest_k).
+        _, ids = jax.lax.sort_key_val(
+            -key, jax.lax.broadcasted_iota(jnp.int32, pos.shape, 2), is_stable=True
+        )
+        return ids[..., :k].astype(jnp.int32)
+    _, ids = jax.lax.top_k(key, k)
     # top_k above returns span slots in ascending slot order.
     return ids.astype(jnp.int32)
 
@@ -104,8 +126,11 @@ def select_evictions(
 ) -> jax.Array:
     """Select spec.k slots per (B, H) to evict. Returns (B, H, k) int32.
 
-    Must only be called when an eviction is due (the engine guards with
-    lax.cond on the budget trigger, reference easykv.py:302-303, :459)."""
+    Called when an eviction is due for at least one batch row (evict_cache
+    guards with lax.cond on jnp.any(gate)); rows whose gate is False have
+    their results discarded by evict_slots' gating. Scores may contain
+    NaN/garbage for such rows (e.g. roco's score/counter with zero
+    counters) — ids are always in-range, so gated discard is safe."""
     pos = cache.pos
     B, H, S = pos.shape
     valid = pos >= 0
@@ -163,8 +188,10 @@ def select_evictions(
         # the set and running a second top_k (reference easykv.py:322-323),
         # take the k-th smallest std as a threshold and mask — equivalent
         # because the force encoding keeps stds distinct, and cheaper on TPU.
-        neg_vals, _ = jax.lax.top_k(-std, spec.feasible_k)
-        thresh = -neg_vals[..., -1:]
+        # The k-th smallest comes from a full sort, not top_k: top_k's TPU
+        # lowering scales with k (k~140 here blew the budgeted-graph compile
+        # up 25x vs full-cache).
+        thresh = jnp.sort(std, axis=-1)[..., spec.feasible_k - 1 : spec.feasible_k]
         feasible = std <= thresh
         # Stage 2: lowest time-averaged score within the feasible set
         # (easykv.py:323, :475, :723).
@@ -289,24 +316,44 @@ def evict_cache(
     axis into the batch axis — a single top_k over (L*B, H, S) instead of L
     small ones inside the layer scan (8x faster on v5e at 7B shapes).
     Matches the reference's ordering exactly: forward all layers, update
-    scores, then evict every layer's cache (easykv.py:302-362)."""
+    scores, then evict every layer's cache (easykv.py:302-362).
+
+    The lax.cond skips the selection sort on non-evicting steps, and its
+    operands are ONLY the sidecar arrays: eviction is a pos-invalidate
+    (cache.py), so K/V never enter the conditional — routing the multi-GB
+    K/V buffers through the cond as pass-throughs adds compile-time risk and
+    buys nothing. (r2 bisection note: warm-up wall time through the remote
+    TPU compile service varies 8–545 s run-to-run regardless of graph
+    structure — AOT phase timing shows the actual XLA compile of this graph
+    is ~14 s. An unconditional gated variant was also benched: it compiles
+    the same but costs ~3% decode throughput from the every-step sort, so
+    the cond stays.)"""
     L, B = cache.pos.shape[:2]
 
     def fold(x):
-        return x.reshape((L * B,) + x.shape[2:]) if x is not None else None
+        return x.reshape((L * B,) + x.shape[2:])
 
     def unfold(x):
-        return x.reshape((L, B) + x.shape[1:]) if x is not None else None
+        return x.reshape((L, B) + x.shape[1:])
 
-    lc = LayerCache(*(fold(leaf) for leaf in cache))
     tile = lambda v: jnp.tile(v, L)
     gate_t = tile(gate)
+    sidecars = (fold(cache.pos), fold(cache.score), fold(cache.score_sq),
+                fold(cache.counter))
 
-    def do_evict(lc: LayerCache) -> LayerCache:
+    def do_evict(sc):
+        pos, score, score_sq, counter = sc
+        lc = LayerCache(k=None, v=None, pos=pos, score=score,
+                        score_sq=score_sq, counter=counter,
+                        k_scale=None, v_scale=None)
         lc = bump_counters(lc, float(spec.k), gate_t)
         ids = select_evictions(lc, spec, tile(next_pos), tile(prompt_len),
                                tile(rand_rank))
-        return evict_slots(lc, ids, gate_t)
+        lc = evict_slots(lc, ids, gate_t)
+        return (lc.pos, lc.score, lc.score_sq, lc.counter)
 
-    lc = jax.lax.cond(jnp.any(gate), do_evict, lambda c: c, lc)
-    return KVCache(*(unfold(leaf) for leaf in lc))
+    pos, score, score_sq, counter = jax.lax.cond(
+        jnp.any(gate), do_evict, lambda sc: sc, sidecars
+    )
+    return cache._replace(pos=unfold(pos), score=unfold(score),
+                          score_sq=unfold(score_sq), counter=unfold(counter))

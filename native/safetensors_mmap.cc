@@ -213,7 +213,9 @@ void* st_open(const char* path) {
   f->base = static_cast<const uint8_t*>(m);
   uint64_t hlen;
   std::memcpy(&hlen, f->base, 8);  // little-endian host assumed (x86/ARM/TPU VMs)
-  if (8 + hlen > f->size) { f->error = "header length out of range"; return f; }
+  // NB: compare as `hlen > size - 8` (size >= 8 is already guaranteed) —
+  // `8 + hlen` can wrap for a corrupt/malicious hlen near UINT64_MAX.
+  if (hlen > f->size - 8) { f->error = "header length out of range"; return f; }
   if (!parse_header(f, reinterpret_cast<const char*>(f->base + 8), hlen)) return f;
   f->data = f->base + 8 + hlen;
   const size_t data_size = f->size - 8 - hlen;

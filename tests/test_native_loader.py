@@ -108,3 +108,34 @@ def test_load_dir_and_hf_params(tmp_path):
         np.asarray(params["layers"]["wq"][0]),
         sd["model.layers.0.self_attn.q_proj.weight"].T,
     )
+
+
+def test_views_keep_mapping_alive(tmp_path):
+    """Dropping the SafetensorsFile while views circulate must not leave the
+    views pointing at unmapped memory (ADVICE r1: owner was a no-op)."""
+    import gc
+
+    from easykv_tpu.native.loader import SafetensorsFile
+
+    data = {"w": np.arange(4096, dtype=np.float32).reshape(64, 64)}
+    path = str(tmp_path / "alive.safetensors")
+    _write_st(path, data)
+    f = SafetensorsFile(path)
+    view = f.tensor("w")
+    sliced = view[3:10, 4:]  # derived view: base chain must pin the file too
+    del f, view
+    gc.collect()
+    np.testing.assert_array_equal(sliced, data["w"][3:10, 4:])
+
+
+def test_header_length_overflow_rejected(tmp_path):
+    """A corrupt header length near UINT64_MAX must fail cleanly, not read
+    out of bounds (ADVICE r1: 8 + hlen wrapped)."""
+    from easykv_tpu.native.loader import SafetensorsFile
+
+    path = str(tmp_path / "corrupt.safetensors")
+    with open(path, "wb") as fh:
+        fh.write((2**64 - 4).to_bytes(8, "little"))
+        fh.write(b"{}" + b" " * 64)
+    with pytest.raises(OSError, match="header length out of range"):
+        SafetensorsFile(path)
