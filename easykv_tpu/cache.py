@@ -175,6 +175,20 @@ def write_tokens(
     """
     B, H, C, _ = new_k.shape
     ids = free_slot_ids(cache.pos, C)  # (B, H, C)
+    if token_valid is not None:
+        # Map VALID tokens onto the lowest-index free slots regardless of
+        # their column (a merged serving tick carries a decode row's token in
+        # the last column; without this it would take the C-th "free" slot,
+        # which may be a live one when the ring is nearly full). Padding
+        # columns get the remaining ids and write no-ops.
+        tv_i = token_valid.astype(jnp.int32)
+        rank_v = jnp.cumsum(tv_i, axis=1) - 1
+        n_valid = jnp.sum(tv_i, axis=1, keepdims=True)
+        rank_p = jnp.cumsum(1 - tv_i, axis=1) - 1
+        order = jnp.where(token_valid, rank_v, n_valid + rank_p)  # (B, C)
+        ids = jnp.take_along_axis(
+            ids, jnp.broadcast_to(order[:, None, :], (B, H, C)), axis=2
+        )
     b_ix = jnp.arange(B)[:, None, None]
     h_ix = jnp.arange(H)[None, :, None]
 

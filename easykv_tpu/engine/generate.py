@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import flags
 from ..cache import KVCache, init_cache
 from ..config import GenerationConfig, ModelConfig
 from ..models import llama
@@ -111,6 +112,10 @@ class EngineStatics:
     streaming: bool = False
     dtype: str = "float32"
     kv_quant: bool = False  # int8 compressed-KV cache
+    # (Mesh, seq_axis_name) for sequence-parallel ring prefill, captured from
+    # flags.sp_mesh() at generate() time — part of the statics so a flag flip
+    # retraces instead of hitting the stale jitted graph (Mesh is hashable).
+    sp: Optional[Tuple] = None
 
     @property
     def jdtype(self):
@@ -192,10 +197,22 @@ def _prefill(
     spec: Optional[PolicySpec],
     counter_kind: str,      # 'zero' | 'encode'
 ) -> Tuple[KVCache, jax.Array]:
-    """Returns (cache, last_logits (B, V)) after consuming the prefix."""
+    """Returns (cache, last_logits (B, V)) after consuming the prefix.
+
+    With a registered sequence-parallel mesh (flags.set_sp_mesh) the chunked
+    fori_loop is replaced by ONE ring-attention pass with the prefix sharded
+    over the sp axis — the traveling Σp/Σp² accumulators feed the
+    keep_attention bootstrap directly (VERDICT r1 next #4)."""
     B, A = ids.shape
     if A == 0:
         return cache, jnp.zeros((B, st.cfg.vocab_size), jnp.float32)
+    sp = st.sp
+    if sp is not None:
+        n = sp[0].shape[sp[1]]
+        A_pad = _round_up(A, n)
+        if A_pad <= cache.num_slots:
+            return _ring_prefill(st, params, cache, ids, prefix_len,
+                                 spec, counter_kind, A_pad, sp)
     PC = min(PREFILL_CHUNK, _round_up(A, 8))
     A_pad = _round_up(A, PC)
     ids = jnp.pad(ids, ((0, 0), (0, A_pad - A)))
@@ -222,9 +239,15 @@ def _prefill(
             update_gate=jnp.ones((), bool),
             rand_rank=jnp.zeros((B,), jnp.int32),
         )
+        # The prefix prefill ALWAYS uses stock (non-streaming) attention:
+        # the reference patches the streaming forward only after this phase
+        # (easykv.py:232 vs :253-256, :396 vs :408-410), so prefix keys are
+        # cached post-RoPE at their true positions — and are then re-rotated
+        # by cache rank in streaming phases (the reference's double-rotation
+        # artifact, reproduced for exact parity).
         logits, cache = llama.forward(
             params, st.cfg, cache, chunk, ctx, spec,
-            bootstrap=True, streaming=st.streaming,
+            bootstrap=True, streaming=False,
         )
         # Track the logit row of the final real token (may be mid-chunk).
         is_last = (q_pos == prefix_len[:, None] - 1)[..., None]
@@ -235,6 +258,42 @@ def _prefill(
 
     init = (cache, jnp.zeros((B, st.cfg.vocab_size), jnp.float32))
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _ring_prefill(
+    st: EngineStatics,
+    params,
+    cache: KVCache,
+    ids: jax.Array,         # (B, A)
+    prefix_len: jax.Array,  # (B,)
+    spec: Optional[PolicySpec],
+    counter_kind: str,
+    A_pad: int,             # A rounded up to the sp-axis size
+    sp,                     # (Mesh, axis_name)
+) -> Tuple[KVCache, jax.Array]:
+    """Sequence-parallel prefix prefill (llama.ring_prefill_forward)."""
+    B, A = ids.shape
+    ids = jnp.pad(ids, ((0, 0), (0, A_pad - A)))
+    pos = jnp.arange(A_pad, dtype=jnp.int32)[None, :]
+    tok_valid = pos < prefix_len[:, None]
+    if counter_kind == "encode":
+        cinit = _encode_counter_init(pos, st.idx, st.stride, st.keep_attention)
+    else:
+        cinit = jnp.zeros_like(pos, jnp.float32)
+    ctx = StepCtx(
+        q_pos=jnp.where(tok_valid, pos, -1),
+        token_valid=tok_valid,
+        counter_init=jnp.broadcast_to(cinit, (B, A_pad)).astype(jnp.float32),
+        next_pos=prefix_len,
+        prompt_len=prefix_len,
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.ones((), bool),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    logits, cache = llama.ring_prefill_forward(
+        params, st.cfg, cache, ids, ctx, spec, mesh=sp[0], axis=sp[1]
+    )
+    return cache, logits
 
 
 # ---------------------------------------------------------------------------
@@ -267,7 +326,9 @@ def _strided_encode(
         pos = start + jnp.arange(stride, dtype=jnp.int32)[None, :]
         kv_after = kv_len + stride
         trigger = kv_after > idx  # (B,) reference easykv.py:459
-        update = jnp.asarray(st.keep_attention) | jnp.any(trigger)
+        # per-row: a row updates scores iff keep_attention or ITS trigger
+        # fires (B=1 in the reference; per-row keeps batched encoding exact)
+        update = jnp.asarray(st.keep_attention) | trigger
         # Random policy: uniform span start over ranks [0, S_enc - stride)
         # (reference easykv.py:494-497).
         u = jax.random.uniform(jax.random.fold_in(seed, i), (B,))
@@ -390,7 +451,7 @@ def _decode_loop(
             next_pos=tok_pos + 1,
             prompt_len=prompt_len,
             evict_gate=gate_b,
-            update_gate=jnp.any(live),
+            update_gate=live,
             rand_rank=rand_rank,
         )
         logits, cache = llama.forward(
@@ -548,8 +609,10 @@ def _run_ppl_full(st: EngineStatics, params, input_ids):
             update_gate=jnp.zeros((), bool),
             rand_rank=jnp.zeros((B,), jnp.int32),
         )
+        # full-cache ppl: the reference runs the whole doc through stock
+        # attention before any patching (easykv.py:760-765) — never streaming
         logits, cache = llama.forward(
-            params, st.cfg, cache, chunk, ctx, None, streaming=st.streaming
+            params, st.cfg, cache, chunk, ctx, None, streaming=False
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         ce_intra = -jnp.take_along_axis(
@@ -668,6 +731,7 @@ def generate(
         keep_attention=gc.keep_attention, streaming=gc.streaming,
         dtype=model.dtype, max_new_tokens=gc.max_new_tokens,
         kv_quant=getattr(model, "kv_quant", False),
+        sp=flags.sp_mesh(),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

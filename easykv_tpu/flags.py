@@ -1,15 +1,45 @@
-"""Runtime feature flags (kernel selection)."""
+"""Runtime feature flags (kernel selection + active mesh registry)."""
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Tuple
 
 _PALLAS_OVERRIDE: Optional[bool] = None
+_ACTIVE_MESH: Optional[Tuple] = None  # (Mesh, data_axis_name, model_axis_name)
 
 
 def use_pallas(enabled: Optional[bool]) -> None:
-    """Force the fused Pallas kernels on/off (None = auto: single-chip TPU)."""
+    """Force the fused Pallas kernels on/off (None = auto: TPU backend)."""
     global _PALLAS_OVERRIDE
     _PALLAS_OVERRIDE = enabled
+
+
+def set_active_mesh(mesh, data_axis: str = "data", model_axis: str = "model") -> None:
+    """Register the device mesh model code runs under. With a mesh active,
+    the fused decode kernel is invoked through shard_map (grid partitions
+    over batch x KV-heads with zero communication) instead of being gated
+    off. Pass mesh=None to clear."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = None if mesh is None else (mesh, data_axis, model_axis)
+
+
+def active_mesh() -> Optional[Tuple]:
+    return _ACTIVE_MESH
+
+
+_SP_MESH: Optional[Tuple] = None  # (Mesh, seq_axis_name)
+
+
+def set_sp_mesh(mesh, axis: str = "sp") -> None:
+    """Register a sequence-parallel mesh: engine prefill then shards the
+    prefix over `axis` and runs ring attention (ops/ring_attention) with the
+    traveling Σp/Σp² accumulators feeding the keep_attention score bootstrap.
+    Pass mesh=None to clear."""
+    global _SP_MESH
+    _SP_MESH = None if mesh is None else (mesh, axis)
+
+
+def sp_mesh() -> Optional[Tuple]:
+    return _SP_MESH
 
 
 def pallas_enabled() -> bool:
@@ -22,7 +52,16 @@ def pallas_enabled() -> bool:
         return env not in ("0", "false", "off")
     import jax
 
-    # Single-chip TPU only by default: pallas_call is not auto-partitionable
-    # by GSPMD, so multi-device meshes take the (partitionable) XLA paths
-    # until the kernels are wrapped in shard_map.
-    return jax.default_backend() == "tpu" and jax.device_count() == 1
+    # TPU-backend default: single chip runs pallas_call directly; with more
+    # devices a registered active mesh is required (the kernel then runs
+    # under shard_map — pallas_call is not GSPMD-auto-partitionable).
+    if jax.default_backend() != "tpu":
+        return False
+    return jax.device_count() == 1 or _ACTIVE_MESH is not None
+
+
+def pallas_interpret() -> bool:
+    """Pallas kernels need interpret mode off-TPU (CPU mesh tests)."""
+    import jax
+
+    return jax.default_backend() != "tpu"

@@ -38,6 +38,7 @@ from ..policies import PolicySpec, update_scores, update_scores_reduced
 Params = Dict[str, Any]
 
 # Kernel-selection flags live in flags.py; re-exported here for convenience.
+from .. import flags  # noqa: E402
 from ..flags import pallas_enabled as _pallas_enabled  # noqa: E402
 from ..flags import use_pallas  # noqa: E402,F401
 
@@ -60,7 +61,7 @@ class StepCtx(NamedTuple):
     next_pos: jax.Array      # (B,) position the *next* token would get
     prompt_len: jax.Array    # (B,)
     evict_gate: jax.Array    # (B,) bool: run an eviction event this chunk
-    update_gate: jax.Array   # scalar bool: apply score updates this chunk
+    update_gate: jax.Array   # scalar or (B,) bool: apply score updates
     rand_rank: jax.Array     # (B,) pre-drawn rank for the random policy
 
 
@@ -90,9 +91,23 @@ def init_params(cfg: ModelConfig, key: jax.Array, dtype=jnp.float32) -> Params:
             "ln_mlp": jnp.ones((L, D), dtype),
         },
     }
+    if cfg.attention_bias:
+        bk = jax.random.split(jax.random.fold_in(key, 7), 3)
+        params["layers"]["bq"] = norm(bk[0], (L, Hq * Dh), Hq * Dh)
+        params["layers"]["bk"] = norm(bk[1], (L, Hkv * Dh), Hkv * Dh)
+        params["layers"]["bv"] = norm(bk[2], (L, Hkv * Dh), Hkv * Dh)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = norm(jax.random.fold_in(key, 99), (D, V), D)
     return params
+
+
+def _qkv(x: jax.Array, p, name: str) -> jax.Array:
+    """Q/K/V projection with the optional attention bias (Qwen2-style:
+    q/k/v biased, o unbiased — ModelConfig.attention_bias)."""
+    y = mm(x, p["w" + name])
+    if "b" + name in p:
+        y = y + p["b" + name].astype(y.dtype)
+    return y
 
 
 def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
@@ -131,9 +146,9 @@ def forward(
         p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
-        q = mm(x, p["wq"]).reshape(B, C, Hq, Dh).transpose(0, 2, 1, 3)
-        k = mm(x, p["wk"]).reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = mm(x, p["wv"]).reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = _qkv(x, p, "q").reshape(B, C, Hq, Dh).transpose(0, 2, 1, 3)
+        k = _qkv(x, p, "k").reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = _qkv(x, p, "v").reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
 
         if not streaming:
             # Non-streaming: keys stored post-RoPE at their true positions;
@@ -213,6 +228,87 @@ def forward(
     return _logits_tail(h, params, cfg), KVCache(*new_cache)
 
 
+def ring_prefill_forward(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    token_ids: jax.Array,        # (B, T); T divisible by the sp-axis size
+    ctx: StepCtx,
+    spec,                        # PolicySpec | None: collect bootstrap scores?
+    *,
+    mesh,
+    axis: str = "sp",
+) -> Tuple[jax.Array, KVCache]:
+    """Whole-prefix prefill with the sequence sharded over the mesh's `axis`:
+    per-layer ring attention (ops/ring_attention.py) instead of the chunked
+    fori_loop — O(T²/n) attention per device, K/V blocks riding the ICI ring.
+
+    With a PolicySpec, the traveling Σp/Σp² accumulators land in the score
+    sidecars — identical semantics to the keep_attention bootstrap the
+    chunked path accumulates per chunk (update_scores(bootstrap=True),
+    reference h2o_head_score easykv.py:173-186).
+
+    Valid tokens must form a per-row column prefix (true for every engine
+    caller); token j then lands in cache slot j, so the ring score vectors
+    scatter as a plain [0, T) block write. Returns (last real token's logits
+    (B, V), cache)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.ring_attention import ring_attention
+
+    B, T = token_ids.shape
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
+    collect = spec is not None
+    # padding keys get INT_MAX so no query attends them (-1 would be
+    # causally visible to everything)
+    kpos = jnp.where(ctx.token_valid, ctx.q_pos, jnp.int32(2**31 - 1))
+
+    h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
+    h = jax.lax.with_sharding_constraint(
+        h, NamedSharding(mesh, P(None, axis, None))
+    )
+
+    def layer(h, xs):
+        p, cl = xs
+        cl = LayerCache(*cl)
+        x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
+        q = _qkv(x, p, "q").reshape(B, T, Hq, Dh).transpose(0, 2, 1, 3)
+        k = _qkv(x, p, "k").reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = _qkv(x, p, "v").reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = apply_rope(q, ctx.q_pos[:, None, :], inv_freq)
+        k = apply_rope(k, ctx.q_pos[:, None, :], inv_freq)
+
+        out, ssum, ssq = ring_attention(
+            q, k, v, ctx.q_pos, mesh, axis,
+            collect_scores=collect, k_pos=kpos,
+        )
+        cl = write_tokens(cl, k, v, ctx.q_pos, ctx.counter_init, ctx.token_valid)
+        if collect:
+            # token j sits in slot j (empty cache, column-order free slots);
+            # padding columns carry exactly-zero mass.
+            cl = cl._replace(
+                score=cl.score.at[:, :, :T].add(ssum),
+                score_sq=cl.score_sq.at[:, :, :T].add(ssq),
+            )
+
+        attn_out = out.transpose(0, 2, 1, 3).reshape(B, T, Hq * Dh)
+        h = h + mm(attn_out, p["wo"])
+        x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
+        h = h + mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
+        return h, tuple(cl)
+
+    h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
+    # logits of the last REAL token only (the lm head over all T rows of a
+    # long prefix would dominate memory)
+    n_valid = jnp.sum(ctx.token_valid.astype(jnp.int32), axis=1)  # (B,)
+    h_last = jnp.take_along_axis(
+        h, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1
+    )
+    logits = _logits_tail(h_last, params, cfg)[:, 0]
+    return logits, KVCache(*new_cache)
+
+
 def _logits_tail(h: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
     h = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
     if cfg.tie_word_embeddings:
@@ -244,6 +340,17 @@ def _decode_forward(
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
     use_kernel = cfg.sliding_window is None and _pallas_enabled()
+    mesh_info = flags.active_mesh()
+    interp = flags.pallas_interpret()
+    if use_kernel and mesh_info is not None:
+        # shard_map needs even shards: batch over data, KV heads over model.
+        mesh = mesh_info[0]
+        dsz = mesh.shape.get(mesh_info[1], 1)
+        msz = mesh.shape.get(mesh_info[2], 1)
+        if B % dsz != 0 or Hkv % msz != 0:
+            use_kernel = False
+        elif mesh.size == 1:
+            mesh_info = None  # trivial mesh: call the kernel directly
 
     # One batched free-slot select for all layers (replaces L in-scan top_ks).
     ids_all = free_slot_ids(cache.pos.reshape(L * B, Hkv, S), 1)
@@ -256,20 +363,33 @@ def _decode_forward(
         p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
-        q = mm(x, p["wq"]).reshape(B, 1, Hq, Dh).transpose(0, 2, 1, 3)
-        k = mm(x, p["wk"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = mm(x, p["wv"]).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = _qkv(x, p, "q").reshape(B, 1, Hq, Dh).transpose(0, 2, 1, 3)
+        k = _qkv(x, p, "k").reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = _qkv(x, p, "v").reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
         q = apply_rope(q, q_pos[:, None, :], inv_freq)
         k = apply_rope(k, q_pos[:, None, :], inv_freq)
 
         if use_kernel:
             from ..ops.pallas import fused_decode_attend_inflight
+            from ..ops.pallas.decode_attention import (
+                fused_decode_attend_inflight_sharded,
+            )
 
-            out, probs_kv, p_new = fused_decode_attend_inflight(
-                q, k, v, cl.k, cl.v, cl.pos, q_pos[:, 0],
+            kw = dict(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
             )
+            if mesh_info is not None:
+                out, probs_kv, p_new = fused_decode_attend_inflight_sharded(
+                    q, k, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
+                    mesh=mesh_info[0], data_axis=mesh_info[1],
+                    model_axis=mesh_info[2], interpret=interp,
+                )
+            else:
+                out, probs_kv, p_new = fused_decode_attend_inflight(
+                    q, k, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
+                    interpret=interp,
+                )
         else:
             k_raw, v_raw = kv_dequant(cl, h.dtype)
             out, probs_kv, p_new = attend_inflight(
@@ -308,7 +428,10 @@ def _decode_write(
     probability as its fresh score (== what write-then-attend produces)."""
     L, B, H, S = cache.pos.shape
     live = ctx.token_valid[:, 0]                       # (B,)
-    gate = ctx.update_gate.astype(jnp.float32)         # scalar
+    gate_b = ctx.update_gate                           # scalar or (B,) bool
+    if gate_b.ndim == 1:
+        gate_b = gate_b[None, :, None, None]           # over (L, B, H, S/1)
+    gate = gate_b.astype(jnp.float32)
 
     # Old-slot score updates (policies.update_scores semantics). probs is
     # exactly zero at invalid slots (masked softmax), so the stale value at
@@ -325,7 +448,7 @@ def _decode_write(
     elif spec is not None and spec.policy == "tova":
         # decode phases use per-head last-token attention (easykv.py:297-300,
         # :617-618); the encode-phase head-mean never reaches this path.
-        score = jnp.where(ctx.update_gate, probs, score)
+        score = jnp.where(gate_b, probs, score)
         s_new = p_new * gate
 
     l_ix = jnp.arange(L)[:, None, None, None]

@@ -46,7 +46,8 @@ def _load() -> ctypes.CDLL:
                        check=True, capture_output=True)
     lib = ctypes.CDLL(_SO_PATH)
     lib.sched_create.restype = ctypes.c_void_p
-    lib.sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32]
+    lib.sched_create.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                 ctypes.c_int32]
     lib.sched_destroy.argtypes = [ctypes.c_void_p]
     lib.sched_submit.restype = ctypes.c_int32
     lib.sched_submit.argtypes = [ctypes.c_void_p, ctypes.c_int64,
@@ -71,9 +72,14 @@ class NativeScheduler:
     """Continuous-batching planner: slot assignment + chunked-prefill token
     budgeting + FIFO-within-priority ordering, implemented in C++."""
 
-    def __init__(self, n_slots: int, max_prefill_tokens_per_tick: int):
+    def __init__(self, n_slots: int, max_prefill_tokens_per_tick: int,
+                 chunk_cap: int = 0):
+        """chunk_cap: per-request per-tick prefill cap (0 = whole budget).
+        Set it to the compiled chunk width so several requests can each
+        prefill one chunk per tick (they ride one merged dispatch)."""
         self._lib = _load()
-        self._h = self._lib.sched_create(n_slots, max_prefill_tokens_per_tick)
+        self._h = self._lib.sched_create(n_slots, max_prefill_tokens_per_tick,
+                                         chunk_cap)
         self._cap = max(64, 2 * n_slots)
         self._buf = (_CAction * self._cap)()
 

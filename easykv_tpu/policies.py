@@ -229,7 +229,7 @@ def update_scores(
     cache: LayerCache,
     probs_kv: jax.Array,     # (B, Hkv, T, S) f32 from ops.attention.attend
     spec: PolicySpec,
-    update_gate: jax.Array,  # scalar bool: apply this chunk's update?
+    update_gate: jax.Array,  # scalar or (B,) bool: apply this chunk's update?
     bootstrap: bool = False,
 ) -> LayerCache:
     """Fold a chunk's attention probabilities into the score sidecars.
@@ -244,7 +244,8 @@ def update_scores(
     head-mean broadcast, easykv.py:456-457). Padding queries contribute
     zero rows by construction (masked softmax).
     """
-    gate = update_gate.astype(jnp.float32)
+    gate_b = row_gate(update_gate)  # bool, broadcastable over (B, Hkv, S)
+    gate = gate_b.astype(jnp.float32)
     if bootstrap or spec.policy in ("h2o_head", "roco"):
         delta = jnp.sum(probs_kv, axis=2) * gate
         score = cache.score + delta
@@ -258,9 +259,18 @@ def update_scores(
         if spec.phase == PHASE_ENCODE:
             last = jnp.mean(last, axis=1, keepdims=True)
             last = jnp.broadcast_to(last, cache.score.shape)
-        score = jnp.where(update_gate, last, cache.score)
+        score = jnp.where(gate_b, last, cache.score)
         return cache._replace(score=score)
     return cache  # recency / random / full keep no scores
+
+
+def row_gate(update_gate: jax.Array) -> jax.Array:
+    """Normalize a scalar or per-row (B,) update gate so it broadcasts over
+    (B, Hkv, S) score arrays. Per-row gates keep batched strided encoding
+    correct when rows trigger on different chunks."""
+    if update_gate.ndim == 1:
+        return update_gate[:, None, None]
+    return update_gate
 
 
 def update_scores_reduced(
@@ -275,7 +285,8 @@ def update_scores_reduced(
     """update_scores for kernels that reduce the probability tensor on-chip
     (ops/pallas/chunk_attention.py, decode kernel) — same semantics, no
     (B, Hkv, C, S) materialization."""
-    gate = update_gate.astype(jnp.float32)
+    gate_b = row_gate(update_gate)
+    gate = gate_b.astype(jnp.float32)
     if bootstrap or spec.policy in ("h2o_head", "roco"):
         score = cache.score + ssum * gate
         score_sq = cache.score_sq
@@ -287,7 +298,7 @@ def update_scores_reduced(
             last = jnp.broadcast_to(
                 jnp.mean(last, axis=1, keepdims=True), cache.score.shape
             )
-        score = jnp.where(update_gate, last, cache.score)
+        score = jnp.where(gate_b, last, cache.score)
         return cache._replace(score=score)
     return cache
 

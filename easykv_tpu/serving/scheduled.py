@@ -20,7 +20,7 @@ from ..cache import init_cache
 from ..native.scheduler import DECODE, PREFILL_CHUNK, NativeScheduler
 from ..policies import PHASE_DECODE, PolicySpec
 from ..sampling import sample_topp
-from .engine import Request, _clear_row, _decode_step, _prefill_chunk
+from .engine import Request, _clear_row, _decode_step, _merged_step
 
 
 class ScheduledBatchEngine:
@@ -59,8 +59,12 @@ class ScheduledBatchEngine:
             quantized=getattr(model, "kv_quant", False),
         )
         self.rng = jax.random.PRNGKey(seed)
-        # one pc-sized prefill chunk per tick keeps a single compiled shape
-        self.sched = NativeScheduler(batch_slots, self.pc)
+        # chunk_cap = pc: each request prefills at most one compiled-width
+        # chunk per tick, but up to B requests may do so in the SAME tick —
+        # they ride one merged dispatch (all rows cost the same pc-wide
+        # forward anyway)
+        self.sched = NativeScheduler(batch_slots, batch_slots * self.pc,
+                                     chunk_cap=self.pc)
         self.requests: Dict[int, Request] = {}
         self.ids_pad: Dict[int, np.ndarray] = {}
         self.prompt_len = np.zeros(self.B, np.int32)
@@ -89,63 +93,87 @@ class ScheduledBatchEngine:
                                jnp.float32(self.top_p))[0])
 
     def tick(self) -> List[Tuple[int, int]]:
-        """Execute one scheduler tick. Returns emitted (request_id, token)."""
+        """Execute one scheduler tick in ONE device dispatch.
+
+        Ticks with any prefill run the merged (B, pc) step — every row is a
+        prefill window, a decode token (last column), or inactive. Pure
+        decode ticks run the cheap (B, 1) decode step (late-write fast
+        path). Either way: one compiled call per tick."""
         plan = self.sched.plan()
         emitted: List[Tuple[int, int]] = []
-        decode_rids: List[int] = []
-        for a in plan:
-            if a.kind == PREFILL_CHUNK:
+        prefills = [a for a in plan if a.kind == PREFILL_CHUNK]
+        decode_live = [
+            a for a in plan
+            if a.kind == DECODE and a.request_id in self.requests
+            and self.has_token[self.sched.slot_of(a.request_id)]
+        ]
+        if not prefills and not decode_live:
+            return emitted
+
+        active = np.zeros(self.B, bool)
+        for a in decode_live:
+            active[self.sched.slot_of(a.request_id)] = True
+
+        if prefills:
+            tokens = np.zeros((self.B, self.pc), np.int32)
+            start = np.zeros(self.B, np.int32)
+            limit = np.zeros(self.B, np.int32)
+            is_decode = active.copy()
+            act = active.copy()
+            for a in prefills:
+                slot = a.slot
+                tokens[slot] = self.ids_pad[a.request_id][
+                    a.chunk_start : a.chunk_start + self.pc
+                ]
+                start[slot] = a.chunk_start
+                limit[slot] = a.chunk_start + a.chunk_len
+                self.prompt_len[slot] = len(self.requests[a.request_id].ids)
+                act[slot] = True
+            tokens[:, self.pc - 1] = np.where(
+                is_decode, self.next_token, tokens[:, self.pc - 1]
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            logits, self.cache = _merged_step(
+                self.cfg, self.spec, self.budget, self.pc, self.model.params,
+                self.cache, jnp.asarray(tokens), jnp.asarray(start),
+                jnp.asarray(limit), jnp.asarray(self.prompt_len),
+                jnp.asarray(self.gen_count), jnp.asarray(is_decode),
+                jnp.asarray(act), sub,
+            )
+            dec_logits = logits[:, self.pc - 1, :]
+            for a in prefills:
                 rid, slot = a.request_id, a.slot
                 req = self.requests[rid]
                 T = len(req.ids)
-                start = a.chunk_start
-                chunk = jnp.asarray(
-                    self.ids_pad[rid][start : start + self.pc]
-                )
-                logits, self.cache = _prefill_chunk(
-                    self.cfg, None, self.pc, self.model.params, self.cache,
-                    chunk, jnp.int32(start), jnp.asarray([T], jnp.int32),
-                    jnp.int32(slot), jnp.int32(start + a.chunk_len),
-                )
                 self.sched.report_prefill(rid, a.chunk_len)
-                last_idx = T - 1 - start
-                if T > start + a.chunk_len:
+                last_idx = T - 1 - a.chunk_start
+                if T > a.chunk_start + a.chunk_len:
                     last_idx = -1  # prompt not fully consumed this tick
                 if 0 <= last_idx < self.pc:
                     # prompt fully consumed: sample the first token
-                    tok = self._sample1(logits[last_idx])
-                    self.prompt_len[slot] = T
+                    tok = self._sample1(logits[slot, last_idx])
                     self.gen_count[slot] = 0
                     self.next_token[slot] = tok
                     self.has_token[slot] = True
                     req.out.append(tok)
                     emitted.append((rid, tok))
-                    if self._check_done(rid, slot, tok):
-                        continue
-            else:
-                decode_rids.append(a.request_id)
-
-        # decode batch: only slots that already hold a sampled token
-        live = [
-            rid for rid in decode_rids
-            if rid in self.requests and self.has_token[self.sched.slot_of(rid)]
-        ]
-        if live:
-            active = np.zeros(self.B, bool)
-            for rid in live:
-                active[self.sched.slot_of(rid)] = True
+                    self._check_done(rid, slot, tok)
+        elif decode_live:
             self.rng, sub = jax.random.split(self.rng)
-            logits, self.cache = _decode_step(
+            dec_logits, self.cache = _decode_step(
                 self.cfg, self.spec, self.budget, self.model.params, self.cache,
                 jnp.asarray(self.next_token), jnp.asarray(active),
                 jnp.asarray(self.prompt_len), jnp.asarray(self.gen_count), sub,
             )
+
+        if decode_live:
             self.rng, sub = jax.random.split(self.rng)
             toks = np.asarray(sample_topp(
-                sub, logits, jnp.float32(self.temperature),
+                sub, dec_logits, jnp.float32(self.temperature),
                 jnp.float32(self.top_p),
             ))
-            for rid in live:
+            for a in decode_live:
+                rid = a.request_id
                 slot = self.sched.slot_of(rid)
                 self.gen_count[slot] += 1
                 tok = int(toks[slot])

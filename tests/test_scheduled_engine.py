@@ -64,3 +64,69 @@ def test_prefill_interleaves_with_decode():
     assert 1 in emitted_during_prefill, "decode stalled during chunked prefill"
     outs = eng.run_all()
     assert len(outs[1]) == 12 and len(outs[2]) == 4
+
+
+def test_simultaneous_multi_request_prefill_one_dispatch():
+    """Two requests submitted together prefill their chunks in the SAME
+    merged tick (one dispatch), and their outputs still match the
+    single-request engine exactly."""
+    model = make_model()
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(1, 90, size=(n,)) for n in (14, 11)]
+    singles = [
+        generate(model, p,
+                 {"budget": 8, "kv_policy": "roco", "max_new_tokens": 8,
+                  "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []},
+                 kv_mode="decoding")
+        for p in prompts
+    ]
+    eng = ScheduledBatchEngine(model, batch_slots=2, max_prompt=64, budget=8,
+                               kv_policy="roco", temperature=1e-9, top_p=1.0,
+                               prefill_chunk=16)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(request_id=i, ids=p, max_new_tokens=8))
+    # first tick: the plan must hold BOTH prefill chunks (chunk_cap == pc,
+    # budget == B*pc), and both first tokens must be emitted together
+    ev = eng.tick()
+    assert sorted(rid for rid, _ in ev) == [0, 1], ev
+    outs = eng.run_all()
+    for i in range(2):
+        assert outs[i] == singles[i], f"request {i} diverged"
+
+
+def test_merged_tick_decode_rides_prefill_dispatch():
+    """A decoding request keeps emitting while a newcomer prefills — in the
+    SAME merged dispatch (no separate decode step on prefill ticks)."""
+    from easykv_tpu.serving import scheduled as sched_mod
+
+    model = make_model()
+    rng = np.random.default_rng(3)
+    a = rng.integers(1, 90, size=(10,))
+    b = rng.integers(1, 90, size=(48,))
+    single_a = generate(model, a,
+                        {"budget": 8, "kv_policy": "roco", "max_new_tokens": 12,
+                         "temperature": 1e-9, "top_p": 1.0,
+                         "eos_token_ids": []}, kv_mode="decoding")
+    eng = ScheduledBatchEngine(model, batch_slots=2, max_prompt=64, budget=8,
+                               kv_policy="roco", temperature=1e-9, top_p=1.0,
+                               prefill_chunk=16)
+    eng.submit(Request(request_id=1, ids=a, max_new_tokens=12))
+    for _ in range(2):
+        eng.tick()
+    eng.submit(Request(request_id=2, ids=b, max_new_tokens=3))
+    calls = {"decode": 0}
+    orig = sched_mod._decode_step
+
+    def counting_decode(*args, **kw):
+        calls["decode"] += 1
+        return orig(*args, **kw)
+
+    sched_mod._decode_step = counting_decode
+    try:
+        ev = eng.tick()  # prefill chunk 1 of request 2 + decode of request 1
+    finally:
+        sched_mod._decode_step = orig
+    assert calls["decode"] == 0, "prefill tick issued a separate decode dispatch"
+    assert any(rid == 1 for rid, _ in ev), "decode starved during prefill"
+    outs = eng.run_all()
+    assert outs[1] == single_a

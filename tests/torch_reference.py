@@ -553,3 +553,130 @@ def reference_encdec_greedy(
             counter = compact(counter)
         cur_pos += 1
     return out_ids
+
+
+def _manual_stream_step(model, tok, pkv, attn_out_probs):
+    """One streaming decode step, faithful to the reference's
+    llama_forward_stream (reference llama_patch.py:251-379): the new K/V are
+    appended to the cache PRE-RoPE, then the ENTIRE cached K is re-rotated
+    with key positions arange(cache_len) (cache-relative), and the query is
+    rotated at position prev_len = cache_len - 1. Note the reference's
+    prefill runs UNPATCHED (easykv.py:232 before :253-256), so prompt keys
+    enter the cache already rotated at their true positions and get rotated
+    a second time here — reproduced as-is for parity.
+
+    Returns logits (1, V); appends each layer's fp32 attention row
+    (1, Hq, 1, S) to attn_out_probs.
+    """
+    from transformers.models.llama.modeling_llama import repeat_kv, rotate_half
+
+    cfg = model.config
+    Hq = cfg.num_attention_heads
+    Hkv = cfg.num_key_value_heads
+    D = getattr(cfg, "head_dim", cfg.hidden_size // Hq)
+    rep = Hq // Hkv
+    h = model.model.embed_tokens(tok)
+    for l, layer in enumerate(model.model.layers):
+        x = layer.input_layernorm(h)
+        q = layer.self_attn.q_proj(x).view(1, 1, Hq, D).transpose(1, 2)
+        k = layer.self_attn.k_proj(x).view(1, 1, Hkv, D).transpose(1, 2)
+        v = layer.self_attn.v_proj(x).view(1, 1, Hkv, D).transpose(1, 2)
+        keys = torch.cat([pkv.layers[l].keys, k], dim=2)   # pre-RoPE append
+        vals = torch.cat([pkv.layers[l].values, v], dim=2)
+        pkv.layers[l].keys = keys
+        pkv.layers[l].values = vals
+        S = keys.shape[2]
+        pos_k = torch.arange(S)[None]
+        cos_k, sin_k = model.model.rotary_emb(vals, pos_k)
+        k_rot = keys * cos_k.unsqueeze(1) + rotate_half(keys) * sin_k.unsqueeze(1)
+        pos_q = torch.tensor([[S - 1]])
+        cos_q, sin_q = model.model.rotary_emb(vals, pos_q)
+        q_rot = q * cos_q.unsqueeze(1) + rotate_half(q) * sin_q.unsqueeze(1)
+        kr = repeat_kv(k_rot, rep)
+        vr = repeat_kv(vals, rep)
+        w = (q_rot @ kr.transpose(2, 3)) / math.sqrt(D)
+        w = torch.softmax(w, dim=-1, dtype=torch.float32)
+        attn_out_probs.append(w)
+        o = (w.to(q.dtype) @ vr).transpose(1, 2).reshape(1, 1, -1)
+        h = h + layer.self_attn.o_proj(o)
+        h = h + layer.mlp(layer.post_attention_layernorm(h))
+    h = model.model.norm(h)
+    return model.lm_head(h)[:, -1, :]
+
+
+def reference_decode_stream_greedy(
+    model, input_ids, budget, policy="roco", max_new_tokens=16,
+):
+    """The reference's decode loop with streaming=True (easykv.py:228-366
+    with llama_forward_stream patched in): stock prefill, then cache-relative
+    RoPE decode with per-step silo eviction over the generated region."""
+    from transformers import DynamicCache
+
+    cfg = model.config
+    L = cfg.num_hidden_layers
+    Hkv = cfg.num_key_value_heads
+    rep = cfg.num_attention_heads // Hkv
+    P = input_ids.shape[-1]
+
+    pkv = DynamicCache()
+    with torch.no_grad():
+        out = model(input_ids=input_ids, use_cache=True, past_key_values=pkv)
+    pkv = out.past_key_values
+    logits_prev = out.logits[:, -1, :]
+
+    W = budget + 1
+    scores = torch.zeros(L, Hkv, W)
+    scores_sq = torch.zeros(L, Hkv, W)
+    counter = torch.arange(budget, -1.0, -1.0).view(1, 1, -1).repeat(L, Hkv, 1).clone()
+    out_ids = []
+    recent_window = int(budget * 0.3)  # easykv.py:308
+
+    for _ in range(max_new_tokens):
+        tok = int(logits_prev.argmax(-1)[0])
+        out_ids.append(tok)
+        attns_raw = []
+        with torch.no_grad():
+            logits_prev = _manual_stream_step(
+                model, torch.tensor([[tok]]), pkv, attns_raw
+            )
+        attn = [_gqa_mean(a, Hkv, rep) for a in attns_raw]
+        for l in range(L):
+            am = attn[l][:, 0, P:]
+            if policy in ("h2o_head", "roco"):
+                scores[l, :, : am.shape[-1]] += am
+                if policy == "roco":
+                    scores_sq[l, :, : am.shape[-1]] += am ** 2
+            elif policy == "tova":
+                scores[l, :, : am.shape[-1]] = am
+        cur_kv = pkv.layers[0].keys.shape[2]
+        if cur_kv - P > budget:
+            counter += 1.0
+            if policy == "h2o_head":
+                ev = torch.argmin(scores[:, :, :-recent_window], dim=-1)
+            elif policy == "roco":
+                std = torch.sqrt(scores_sq / counter - (scores / counter) ** 2)
+                std[:, :, -10:] = 1e9
+                feas = torch.topk(std, largest=False, k=budget - recent_window,
+                                  dim=-1)[1]
+                avg = scores.gather(-1, feas) / counter.gather(-1, feas)
+                ev = feas.gather(-1, avg.argmin(-1, keepdim=True)).squeeze(-1)
+            elif policy == "tova":
+                ev = scores.argmin(dim=-1)
+            elif policy == "recency":
+                ev = torch.zeros(L, Hkv, dtype=torch.int64)
+            else:
+                raise ValueError(policy)
+            ev_abs = ev + P
+            _evict_liso(pkv, ev_abs.unsqueeze(-1))
+            idxs = torch.arange(W).view(1, 1, -1).repeat(L, Hkv, 1)
+            mask = (ev.unsqueeze(-1) != idxs).view(-1, W)
+
+            def compact(t):
+                return torch.cat([
+                    t.view(-1, W)[mask].view(L, Hkv, W - 1),
+                    torch.zeros(L, Hkv, 1)], dim=-1)
+
+            scores = compact(scores)
+            scores_sq = compact(scores_sq)
+            counter = compact(counter)
+    return out_ids
