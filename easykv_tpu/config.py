@@ -56,6 +56,8 @@ class ModelConfig:
     rope_ntk_length: Optional[int] = None
     sliding_window: Optional[int] = None
     tie_word_embeddings: bool = False
+    # Qwen2-style Q/K/V projection biases (o_proj stays unbiased); param
+    # tree keys bq/bk/bv, applied in models/llama.py::_qkv.
     attention_bias: bool = False
 
     def __post_init__(self):
@@ -79,6 +81,11 @@ class ModelConfig:
         )
         scaling = get("rope_scaling") or {}
         scaling_type = scaling.get("type") or scaling.get("rope_type")
+        # Qwen2 hardcodes Q/K/V projection biases (no `attention_bias` field
+        # on Qwen2Config); LLaMa-family configs carry the explicit flag.
+        attn_bias = get("attention_bias", None)
+        if attn_bias is None:
+            attn_bias = get("model_type") == "qwen2"
         return cls(
             vocab_size=get("vocab_size"),
             hidden_size=get("hidden_size"),
@@ -94,7 +101,7 @@ class ModelConfig:
             rope_scaling_factor=scaling.get("factor", 1.0),
             sliding_window=get("sliding_window"),
             tie_word_embeddings=get("tie_word_embeddings", False),
-            attention_bias=get("attention_bias", False),
+            attention_bias=bool(attn_bias),
         )
 
 

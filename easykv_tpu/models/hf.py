@@ -63,6 +63,14 @@ def params_from_hf_state_dict(
             ),
         },
     }
+    if f"{prefix}layers.0.self_attn.q_proj.bias" in sd:
+        # Qwen2-style attention biases (q/k/v only; o_proj is unbiased)
+        p["layers"]["bq"] = stack(
+            f"{prefix}layers.{{}}.self_attn.q_proj.bias", transpose=False)
+        p["layers"]["bk"] = stack(
+            f"{prefix}layers.{{}}.self_attn.k_proj.bias", transpose=False)
+        p["layers"]["bv"] = stack(
+            f"{prefix}layers.{{}}.self_attn.v_proj.bias", transpose=False)
     if not cfg.tie_word_embeddings:
         if "lm_head.weight" in sd:
             p["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype=dtype)

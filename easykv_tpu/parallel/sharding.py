@@ -33,6 +33,10 @@ def param_pspecs(cfg: ModelConfig, mc: MeshConfig) -> Dict[str, Any]:
             "wd": P(None, m, None),
             "ln_attn": P(None, None),
             "ln_mlp": P(None, None),
+            # Qwen2-style attention biases follow their weights' output dim
+            "bq": P(None, m),
+            "bk": P(None, m),
+            "bv": P(None, m),
         },
     }
     specs["lm_head"] = P(None, m)
@@ -66,6 +70,9 @@ def shard_params(params, cfg: ModelConfig, mc: MeshConfig, mesh: Mesh):
     specs = param_pspecs(cfg, mc)
     if "lm_head" not in params:
         specs = {k: v for k, v in specs.items() if k != "lm_head"}
+    specs["layers"] = {
+        k: v for k, v in specs["layers"].items() if k in params["layers"]
+    }
     return _tree_device_put(params, specs, mesh)
 
 

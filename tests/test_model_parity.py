@@ -92,6 +92,43 @@ def test_mistral_logits_parity():
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
 
 
+def test_qwen2_logits_parity():
+    """Qwen2: GQA + Q/K/V projection biases (attention_bias), prefill AND
+    the late-write decode path (additive vs the reference, which covers only
+    LLaMa/Mistral — TODO.md 'Qwen2-style attention bias support')."""
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(4)
+    hf_cfg = Qwen2Config(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        sliding_window=None,
+    )
+    model = Qwen2ForCausalLM(hf_cfg).eval().float()
+    cfg, params = params_from_hf_model(model, dtype=jnp.float32)
+    assert cfg.attention_bias and "bq" in params["layers"]
+    rng = np.random.default_rng(4)
+    T = 16
+    ids = rng.integers(0, 96, size=(1, T))
+    ours, _ = _full_forward(cfg, params, ids)
+    theirs = _hf_logits(model, ids)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=2e-3)
+
+    # token-by-token decode (exercises _decode_forward's bias path)
+    cache = init_cache(cfg.num_hidden_layers, 1, cfg.num_key_value_heads, T,
+                       cfg.head_dim, jnp.float32)
+    step_logits = []
+    for t in range(T):
+        logits, cache = llama.forward(
+            params, cfg, cache, jnp.asarray(ids[:, t : t + 1]),
+            _plain_ctx(1, 1, start=t), None,
+        )
+        step_logits.append(np.asarray(logits)[:, 0])
+    stepped = np.stack(step_logits, axis=1)
+    np.testing.assert_allclose(stepped, theirs, atol=3e-4, rtol=2e-3)
+
+
 def test_chunked_prefill_matches_single_chunk():
     """Feeding a prompt in chunks through the cache must equal one forward."""
     model = _make_hf_llama(2)
