@@ -27,6 +27,44 @@ def test_step_timer():
     assert len(t.times) == 3 and t.mean >= 0
 
 
+def test_checkpoint_restore_sharded(tmp_path):
+    """Mesh-aware restore (VERDICT r1 next #9): params land directly in their
+    param_pspecs NamedShardings on a (2,4) mesh — values identical, shardings
+    correct — including a quantized ({"q","s"}) tree."""
+    from easykv_tpu.config import MeshConfig
+    from easykv_tpu.ops.quant import quantize_params
+    from easykv_tpu.parallel import make_mesh
+    from easykv_tpu.parallel.sharding import param_pspecs
+
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=16, intermediate_size=32,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        attention_bias=True,
+    )
+    params = quantize_params(llama.init_params(cfg, jax.random.PRNGKey(1)))
+    path = str(tmp_path / "ckpt_sharded")
+    save_checkpoint(path, cfg, params)
+
+    mc = MeshConfig(data=2, model=4)
+    mesh = make_mesh(mc)
+    cfg2, restored = load_checkpoint(path, mesh=mesh, mesh_config=mc)
+    assert cfg2 == cfg
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
+    specs = param_pspecs(cfg, mc)
+    assert restored["layers"]["wq"]["q"].sharding.spec == specs["layers"]["wq"]
+    assert restored["layers"]["bq"].sharding.spec == specs["layers"]["bq"]
+    # per-output-channel scales: weight spec minus the contracted dim
+    from jax.sharding import PartitionSpec as P
+
+    assert restored["layers"]["wo"]["q"].sharding.spec == P(None, "model", None)
+    assert restored["layers"]["wo"]["s"].sharding.spec == P(None, None)
+    assert restored["lm_head"]["s"].sharding.spec == P("model")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = ModelConfig(
         vocab_size=32, hidden_size=16, intermediate_size=32,
