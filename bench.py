@@ -83,6 +83,14 @@ def main():
         name = "llama2_7b_int8w_int8kv"
         t0 = time.time()
         params = fake_int8_params(cfg)
+        import os
+
+        if os.environ.get("EASYKV_BENCH_FUSED", "1") != "0":
+            # fused wqkv/wgu single-GEMV layout: 4 weight streams per layer
+            # instead of 7 (bit-exact; test_quant.py::test_fused_gemv_params)
+            from easykv_tpu.ops.quant import fuse_gemv_params
+
+            params = fuse_gemv_params(params)
         jax.block_until_ready(params)
         log(f"7B int8 params built in {time.time()-t0:.1f}s")
         # int8 weights + int8 compressed-KV: the production configuration —

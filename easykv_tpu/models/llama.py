@@ -110,6 +110,33 @@ def _qkv(x: jax.Array, p, name: str) -> jax.Array:
     return y
 
 
+def _proj_qkv(x, p, B, C, Hq, Hkv, Dh):
+    """(q (B,Hq,C,Dh), k, v) from either the split wq/wk/wv tree or the
+    fused single-GEMV wqkv layout (ops.quant.fuse_gemv_params)."""
+    if "wqkv" in p:
+        y = mm(x, p["wqkv"])
+        if "bqkv" in p:
+            y = y + p["bqkv"].astype(y.dtype)
+        nq, nk = Hq * Dh, Hkv * Dh
+        q, k, v = y[..., :nq], y[..., nq : nq + nk], y[..., nq + nk :]
+    else:
+        q, k, v = _qkv(x, p, "q"), _qkv(x, p, "k"), _qkv(x, p, "v")
+    return (
+        q.reshape(B, C, Hq, Dh).transpose(0, 2, 1, 3),
+        k.reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3),
+        v.reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3),
+    )
+
+
+def _mlp(x2, p):
+    """SwiGLU MLP; wgu is the fused gate|up single-GEMV layout."""
+    if "wgu" in p:
+        gu = mm(x2, p["wgu"])
+        F = gu.shape[-1] // 2
+        return mm(jax.nn.silu(gu[..., :F]) * gu[..., F:], p["wd"])
+    return mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
+
+
 def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
@@ -146,9 +173,7 @@ def forward(
         p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
-        q = _qkv(x, p, "q").reshape(B, C, Hq, Dh).transpose(0, 2, 1, 3)
-        k = _qkv(x, p, "k").reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = _qkv(x, p, "v").reshape(B, C, Hkv, Dh).transpose(0, 2, 1, 3)
+        q, k, v = _proj_qkv(x, p, B, C, Hq, Hkv, Dh)
 
         if not streaming:
             # Non-streaming: keys stored post-RoPE at their true positions;
@@ -221,7 +246,7 @@ def forward(
         attn_out = out.transpose(0, 2, 1, 3).reshape(B, C, Hq * Dh)
         h = h + mm(attn_out, p["wo"])
         x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
-        h = h + mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
+        h = h + _mlp(x2, p)
         return h, tuple(cl)
 
     h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
@@ -273,9 +298,7 @@ def ring_prefill_forward(
         p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
-        q = _qkv(x, p, "q").reshape(B, T, Hq, Dh).transpose(0, 2, 1, 3)
-        k = _qkv(x, p, "k").reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = _qkv(x, p, "v").reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+        q, k, v = _proj_qkv(x, p, B, T, Hq, Hkv, Dh)
         q = apply_rope(q, ctx.q_pos[:, None, :], inv_freq)
         k = apply_rope(k, ctx.q_pos[:, None, :], inv_freq)
 
@@ -295,7 +318,7 @@ def ring_prefill_forward(
         attn_out = out.transpose(0, 2, 1, 3).reshape(B, T, Hq * Dh)
         h = h + mm(attn_out, p["wo"])
         x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
-        h = h + mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
+        h = h + _mlp(x2, p)
         return h, tuple(cl)
 
     h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
@@ -363,9 +386,7 @@ def _decode_forward(
         p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
-        q = _qkv(x, p, "q").reshape(B, 1, Hq, Dh).transpose(0, 2, 1, 3)
-        k = _qkv(x, p, "k").reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = _qkv(x, p, "v").reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q, k, v = _proj_qkv(x, p, B, 1, Hq, Hkv, Dh)
         q = apply_rope(q, q_pos[:, None, :], inv_freq)
         k = apply_rope(k, q_pos[:, None, :], inv_freq)
 
@@ -400,7 +421,7 @@ def _decode_forward(
         attn_out = out.transpose(0, 2, 1, 3).reshape(B, 1, Hq * Dh)
         h = h + mm(attn_out, p["wo"])
         x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
-        h = h + mm(jax.nn.silu(mm(x2, p["wg"])) * mm(x2, p["wu"]), p["wd"])
+        h = h + _mlp(x2, p)
         return h, (k, v, probs_kv[:, :, 0, :], p_new)
 
     h, (kn, vn, probs, p_new) = jax.lax.scan(

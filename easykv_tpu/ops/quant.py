@@ -60,6 +60,39 @@ def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array
     return w.astype(dtype)
 
 
+def concat_linears(ws, axis: int = -1):
+    """Concatenate plain or quantized ({"q","s"}) linears along the output
+    dim (per-output-channel scales concatenate 1:1)."""
+    if isinstance(ws[0], dict):
+        return {
+            "q": jnp.concatenate([w["q"] for w in ws], axis=axis),
+            "s": jnp.concatenate([w["s"] for w in ws], axis=axis),
+        }
+    return jnp.concatenate(ws, axis=axis)
+
+
+def fuse_gemv_params(params: Any) -> Any:
+    """Fuse wq|wk|wv -> wqkv and wg|wu -> wgu (and bq|bk|bv -> bqkv).
+
+    The decode step is weight-streaming-bound; merging the projections that
+    share an input turns 7 narrow GEMVs per layer into 4 long ones, which
+    stream HBM with fewer per-op ramp-downs. Single-chip layout only: the
+    concatenated output dim interleaves q/k/v blocks, which does not
+    TP-shard cleanly (keep the split tree + param_pspecs under meshes)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    layers["wqkv"] = concat_linears(
+        [layers.pop("wq"), layers.pop("wk"), layers.pop("wv")]
+    )
+    layers["wgu"] = concat_linears([layers.pop("wg"), layers.pop("wu")])
+    if "bq" in layers:
+        layers["bqkv"] = jnp.concatenate(
+            [layers.pop("bq"), layers.pop("bk"), layers.pop("bv")], axis=-1
+        )
+    out["layers"] = layers
+    return out
+
+
 def quantize_params(params: Any) -> Any:
     """Quantize every stacked linear of a llama param tree to int8; norms and
     the embedding table stay in the original dtype (the embedding is read by

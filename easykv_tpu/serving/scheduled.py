@@ -24,6 +24,14 @@ from .engine import Request, _clear_row, _decode_step, _merged_step
 
 
 class ScheduledBatchEngine:
+    """Single-process by default. With `mesh` (+ `mesh_config`) the batch
+    slots shard over the `data` mesh axis — including across PROCESSES: every
+    process runs the same deterministic scheduler + host logic (SPMD driver
+    model: submit() must be called identically everywhere, like any
+    jax.distributed program), the compiled steps run as one global SPMD
+    computation, and sampled tokens are fetched through a replicating
+    all-gather so every host advances the same state."""
+
     def __init__(
         self,
         model,
@@ -36,6 +44,8 @@ class ScheduledBatchEngine:
         eos_token_ids: Tuple[int, ...] = (),
         prefill_chunk: int = 128,
         seed: int = 0,
+        mesh=None,
+        mesh_config=None,
     ):
         self.model = model
         self.cfg: ModelConfig = model.cfg
@@ -58,6 +68,31 @@ class ScheduledBatchEngine:
             S, self.cfg.head_dim, jnp.dtype(model.dtype),
             quantized=getattr(model, "kv_quant", False),
         )
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..config import MeshConfig
+            from ..parallel.sharding import shard_cache, shard_params
+
+            mc = mesh_config or MeshConfig(
+                data=mesh.shape.get("data", 1), model=mesh.shape.get("model", 1)
+            )
+            assert self.B % mc.data == 0, "batch_slots must divide over data"
+            self._mc = mc
+            self.cache = shard_cache(self.cache, mc, mesh)
+            self.model.params = shard_params(model.params, self.cfg, mc, mesh)
+            self._ns_data = NamedSharding(mesh, P(mc.axis_data))
+            self._ns_rep = NamedSharding(mesh, P())
+            # replicate-on-fetch: out_shardings P() inserts the all-gather so
+            # np.asarray works on every process
+            self._rep = jax.jit(lambda x: x, out_shardings=self._ns_rep)
+            self._rows = jax.jit(
+                lambda lg, idx: jnp.take_along_axis(
+                    lg, idx[:, None, None], axis=1
+                )[:, 0],
+                out_shardings=self._ns_rep,
+            )
         self.rng = jax.random.PRNGKey(seed)
         # chunk_cap = pc: each request prefills at most one compiled-width
         # chunk per tick, but up to B requests may do so in the SAME tick —
@@ -86,9 +121,24 @@ class ScheduledBatchEngine:
         self.ids_pad[req.request_id] = pad
         self.sched.submit(req.request_id, len(ids), req.max_new_tokens)
 
-    def _sample1(self, logits_row) -> int:
+    def _dev(self, arr: np.ndarray):
+        """Host (B, ...) array -> device, sharded over `data` under a mesh.
+        Every process passes the identical full array; each places only its
+        addressable shards."""
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        return jax.make_array_from_callback(
+            arr.shape, self._ns_data, lambda idx: arr[idx]
+        )
+
+    def _key(self):
         self.rng, sub = jax.random.split(self.rng)
-        return int(sample_topp(sub, logits_row[None],
+        # plain host array: valid input to both local jits and the global
+        # SPMD step (identical on every process => replicated)
+        return np.asarray(sub)
+
+    def _sample1(self, logits_row) -> int:
+        return int(sample_topp(self._key(), np.asarray(logits_row)[None],
                                jnp.float32(self.temperature),
                                jnp.float32(self.top_p))[0])
 
@@ -132,45 +182,56 @@ class ScheduledBatchEngine:
             tokens[:, self.pc - 1] = np.where(
                 is_decode, self.next_token, tokens[:, self.pc - 1]
             )
-            self.rng, sub = jax.random.split(self.rng)
+            # which logit row each slot will need: decode rows the last
+            # column, completing prefills their final real token's row
+            last_idx = np.where(is_decode, self.pc - 1, 0).astype(np.int32)
+            finishing = []
+            for a in prefills:
+                T = len(self.requests[a.request_id].ids)
+                li = T - 1 - a.chunk_start
+                if T <= a.chunk_start + a.chunk_len and 0 <= li < self.pc:
+                    last_idx[a.slot] = li
+                    finishing.append((a, li))
             logits, self.cache = _merged_step(
                 self.cfg, self.spec, self.budget, self.pc, self.model.params,
-                self.cache, jnp.asarray(tokens), jnp.asarray(start),
-                jnp.asarray(limit), jnp.asarray(self.prompt_len),
-                jnp.asarray(self.gen_count), jnp.asarray(is_decode),
-                jnp.asarray(act), sub,
+                self.cache, self._dev(tokens), self._dev(start),
+                self._dev(limit), self._dev(self.prompt_len),
+                self._dev(self.gen_count), self._dev(is_decode),
+                self._dev(act), self._key(),
             )
-            dec_logits = logits[:, self.pc - 1, :]
+            if self.mesh is None:
+                rows = np.asarray(jnp.take_along_axis(
+                    logits, jnp.asarray(last_idx)[:, None, None], axis=1
+                )[:, 0])
+            else:
+                rows = np.asarray(self._rows(logits, self._dev(last_idx)))
+            dec_logits = rows
             for a in prefills:
+                self.sched.report_prefill(a.request_id, a.chunk_len)
+            for a, li in finishing:
                 rid, slot = a.request_id, a.slot
-                req = self.requests[rid]
-                T = len(req.ids)
-                self.sched.report_prefill(rid, a.chunk_len)
-                last_idx = T - 1 - a.chunk_start
-                if T > a.chunk_start + a.chunk_len:
-                    last_idx = -1  # prompt not fully consumed this tick
-                if 0 <= last_idx < self.pc:
-                    # prompt fully consumed: sample the first token
-                    tok = self._sample1(logits[slot, last_idx])
-                    self.gen_count[slot] = 0
-                    self.next_token[slot] = tok
-                    self.has_token[slot] = True
-                    req.out.append(tok)
-                    emitted.append((rid, tok))
-                    self._check_done(rid, slot, tok)
+                # prompt fully consumed: sample the first token
+                tok = self._sample1(rows[slot])
+                self.gen_count[slot] = 0
+                self.next_token[slot] = tok
+                self.has_token[slot] = True
+                self.requests[rid].out.append(tok)
+                emitted.append((rid, tok))
+                self._check_done(rid, slot, tok)
         elif decode_live:
-            self.rng, sub = jax.random.split(self.rng)
             dec_logits, self.cache = _decode_step(
                 self.cfg, self.spec, self.budget, self.model.params, self.cache,
-                jnp.asarray(self.next_token), jnp.asarray(active),
-                jnp.asarray(self.prompt_len), jnp.asarray(self.gen_count), sub,
+                self._dev(self.next_token), self._dev(active),
+                self._dev(self.prompt_len), self._dev(self.gen_count),
+                self._key(),
             )
+            if self.mesh is not None:
+                dec_logits = np.asarray(self._rep(dec_logits))
 
         if decode_live:
-            self.rng, sub = jax.random.split(self.rng)
             toks = np.asarray(sample_topp(
-                sub, dec_logits, jnp.float32(self.temperature),
-                jnp.float32(self.top_p),
+                self._key(), jnp.asarray(np.asarray(dec_logits)),
+                jnp.float32(self.temperature), jnp.float32(self.top_p),
             ))
             for a in decode_live:
                 rid = a.request_id
@@ -191,7 +252,9 @@ class ScheduledBatchEngine:
             self.finished[rid] = req
             self.ids_pad.pop(rid, None)
             self.has_token[slot] = False
-            self.cache = _clear_row(self.cache, jnp.int32(slot))
+            # host scalar (not jnp): stays valid as a replicated input when
+            # the cache is a multi-process global array
+            self.cache = _clear_row(self.cache, np.int32(slot))
         return done
 
     def run_all(self) -> Dict[int, List[int]]:

@@ -70,3 +70,29 @@ def test_pallas_quant_matmul_parity():
         ref = np.asarray(mm(x, q))
         got = np.asarray(quant_matmul(x, q["q"], q["s"], interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_fused_gemv_params_exact_match():
+    """fuse_gemv_params (wqkv / wgu single-GEMV layout) is bit-exact vs the
+    split tree: identical logits on prefill and identical greedy decode
+    tokens, fp32 and int8 trees, with and without attention biases."""
+    from easykv_tpu.ops.quant import fuse_gemv_params
+
+    for bias in (False, True):
+        cfg = ModelConfig(
+            vocab_size=64, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            head_dim=8, max_position_embeddings=256, attention_bias=bias,
+        )
+        params = llama.init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+        rng = np.random.default_rng(3)
+        ids = rng.integers(1, 64, size=(40,))
+        gc = {"budget": 12, "kv_policy": "roco", "max_new_tokens": 10,
+              "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+        for tree in (params, quantize_params(params)):
+            base = generate(CausalLM(cfg, tree), ids, gc, kv_mode="decoding")
+            fused = generate(
+                CausalLM(cfg, fuse_gemv_params(tree)), ids, gc,
+                kv_mode="decoding",
+            )
+            assert base == fused, (bias, base, fused)
