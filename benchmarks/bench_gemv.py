@@ -56,7 +56,7 @@ def main():
     gemv_bytes = (D * (HQ + 2 * HKV) * DH + HQ * DH * D + D * 2 * F + F * D) * L
     head_bytes = D * V
 
-    def chain(x, _):
+    def chain(x, ws):
         def layer(h, p):
             y = mmq(h, p["wqkv"])
             h = h + mmq(y[:, : HQ * DH], p["wo"])
@@ -64,17 +64,18 @@ def main():
             h = h + mmq(jax.nn.silu(gu[:, :F]) * gu[:, F:], p["wd"])
             return h, ()
         x, _ = jax.lax.scan(layer, x, ws)
-        return x, ()
-
-    @jax.jit
-    def run_chain(x):
-        x, _ = jax.lax.scan(chain, x, None, length=STEPS)
         return x
 
     @jax.jit
-    def run_chain_head(x):
+    def run_chain(x, ws):
+        x, _ = jax.lax.scan(lambda x, _: (chain(x, ws), ()), x, None,
+                            length=STEPS)
+        return x
+
+    @jax.jit
+    def run_chain_head(x, ws, head):
         def step(x, _):
-            x, _ = chain(x, None)
+            x = chain(x, ws)
             logits = jnp.matmul(x, head["q"].astype(x.dtype),
                                 preferred_element_type=jnp.float32) * head["s"]
             tok = jnp.argsort(-logits[0])[:1]
@@ -83,14 +84,57 @@ def main():
         x, _ = jax.lax.scan(step, x, None, length=STEPS)
         return x
 
+    S = 713  # bench.py budgeted-cache slot count (512 prompt + 200 + 1)
+    kv = {
+        "k": jax.device_put(np.ones((L, 1, HKV, S, DH), np.int8)),
+        "v": jax.device_put(np.ones((L, 1, HKV, S, DH), np.int8)),
+        "pos": jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32),
+                                (L, 1, HKV, S)),
+        "ks": jnp.full((L, 1, HKV, S), 1e-2, jnp.float32),
+        "vs": jnp.full((L, 1, HKV, S), 1e-2, jnp.float32),
+    }
+    kv_bytes = (2 * S * DH + 4 * S * 2 + 4 * S) * HKV * L  # k,v,scales,pos
+
+    @jax.jit
+    def run_chain_attn(x, ws, kv):
+        from easykv_tpu.ops.pallas import fused_decode_attend_inflight
+
+        def step(x, _):
+            def layer(h, p_cl):
+                p, cl = p_cl
+                y = mmq(h, p["wqkv"])
+                q = y[:, : HQ * DH].reshape(1, 1, HQ, DH).transpose(0, 2, 1, 3)
+                kn = y[:, HQ * DH : (HQ + HKV) * DH].reshape(
+                    1, 1, HKV, DH).transpose(0, 2, 1, 3)
+                vn = y[:, (HQ + HKV) * DH :].reshape(
+                    1, 1, HKV, DH).transpose(0, 2, 1, 3)
+                out, probs, p_new = fused_decode_attend_inflight(
+                    q, kn, vn, cl["k"], cl["v"], cl["pos"],
+                    jnp.full((1,), S + 5, jnp.int32),
+                    k_scale=cl["ks"], v_scale=cl["vs"],
+                )
+                h = h + mmq(out.reshape(1, HQ * DH), p["wo"])
+                gu = mmq(h, p["wgu"])
+                h = h + mmq(jax.nn.silu(gu[:, :F]) * gu[:, F:], p["wd"])
+                return h, jnp.sum(probs)
+            x, ps = jax.lax.scan(layer, x, (ws, kv))
+            return x + jnp.sum(ps).astype(x.dtype) * 1e-9, ()
+        x, _ = jax.lax.scan(step, x, None, length=STEPS)
+        return x
+
     x0 = jnp.ones((1, D), jnp.bfloat16)
-    for name, fn, nbytes in [
-        ("gemv_chain", run_chain, gemv_bytes),
-        ("gemv_chain+head+argsort", run_chain_head, gemv_bytes + head_bytes),
+    for name, fn, args, nbytes in [
+        ("gemv_chain", run_chain, (x0, ws), gemv_bytes),
+        ("gemv_chain+head+argsort", run_chain_head, (x0, ws, head),
+         gemv_bytes + head_bytes),
+        ("gemv_chain+inflight_attn", run_chain_attn, (x0, ws, kv),
+         gemv_bytes + kv_bytes),
     ]:
-        t0 = time.time(); jax.block_until_ready(fn(x0))
+        t0 = time.time(); np.asarray(fn(*args))
         log(f"{name}: warm-up {time.time()-t0:.1f}s")
-        t0 = time.time(); jax.block_until_ready(fn(x0))
+        # NB: np.asarray (host readback), NOT block_until_ready — through the
+        # tunneled remote TPU the latter returns before execution finishes.
+        t0 = time.time(); np.asarray(fn(*args))
         dt = (time.time() - t0) / STEPS
         bw = nbytes / dt / 1e9
         log(f"{name}: {dt*1e3:.3f} ms/step  -> {bw:.0f} GB/s effective "

@@ -41,7 +41,10 @@ def _load() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH):
+    src = os.path.join(os.path.abspath(_NATIVE_DIR), "scheduler.cc")
+    if (not os.path.exists(_SO_PATH)
+            or os.path.getmtime(src) > os.path.getmtime(_SO_PATH)):
+        # make's own dependency check handles the actual rebuild
         subprocess.run(["make", "-C", os.path.abspath(_NATIVE_DIR)],
                        check=True, capture_output=True)
     lib = ctypes.CDLL(_SO_PATH)
@@ -60,6 +63,14 @@ def _load() -> ctypes.CDLL:
                                  ctypes.c_int32, ctypes.c_int32, ctypes.c_int32]
     lib.sched_slot_of.restype = ctypes.c_int32
     lib.sched_slot_of.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.sched_dump.restype = ctypes.c_int32
+    lib.sched_dump.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                               ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+    lib.sched_restore.restype = ctypes.c_int32
+    lib.sched_restore.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                  ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, ctypes.c_int32]
     lib.sched_num_waiting.restype = ctypes.c_int32
     lib.sched_num_waiting.argtypes = [ctypes.c_void_p]
     lib.sched_num_active.restype = ctypes.c_int32
@@ -115,6 +126,30 @@ class NativeScheduler:
         """Returns True when the request completed (slot freed)."""
         return self._lib.sched_report(self._h, request_id, 1, 1,
                                       1 if is_eos else 0) == 1
+
+    def dump(self) -> List[dict]:
+        """All live requests in admission order (crash-recovery snapshot)."""
+        cap = max(64, 4 * self._cap)
+        ids = (ctypes.c_int64 * cap)()
+        fields = (ctypes.c_int32 * (6 * cap))()
+        n = self._lib.sched_dump(self._h, ids, fields, cap)
+        out = []
+        for i in range(n):
+            f = fields[6 * i : 6 * i + 6]
+            out.append(dict(request_id=int(ids[i]), slot=int(f[0]),
+                            prompt_len=int(f[1]), max_new_tokens=int(f[2]),
+                            prefilled=int(f[3]), generated=int(f[4]),
+                            priority=int(f[5])))
+        return out
+
+    def restore(self, row: dict) -> None:
+        """Re-create one dumped request with its progress (see dump())."""
+        rc = self._lib.sched_restore(
+            self._h, row["request_id"], row["slot"], row["prompt_len"],
+            row["max_new_tokens"], row["prefilled"], row["generated"],
+            row["priority"])
+        if rc != 0:
+            raise ValueError(f"restore failed ({rc}) for {row}")
 
     def slot_of(self, request_id: int) -> int:
         return self._lib.sched_slot_of(self._h, request_id)

@@ -257,8 +257,94 @@ class ScheduledBatchEngine:
             self.cache = _clear_row(self.cache, np.int32(slot))
         return done
 
-    def run_all(self) -> Dict[int, List[int]]:
+    def run_all(self, checkpoint_path: str = None,
+                checkpoint_every: int = 0) -> Dict[int, List[int]]:
+        """Drain the queue. With checkpoint_path + checkpoint_every=N, a
+        snapshot is written every N ticks — a crashed server resumes
+        in-flight requests with ScheduledBatchEngine.resume()."""
+        n = 0
         while self.requests or self.sched.num_waiting:
             if not self.tick() and not self.sched.num_waiting and not self.requests:
                 break
+            n += 1
+            if checkpoint_path and checkpoint_every and n % checkpoint_every == 0:
+                self.snapshot(checkpoint_path)
         return {rid: r.out for rid, r in self.finished.items()}
+
+    # -- failure recovery: snapshot / resume ---------------------------------
+
+    def snapshot(self, path: str) -> None:
+        """Persist everything needed to resume in-flight requests after a
+        crash: cache + sidecars, host bookkeeping, sampler key, scheduler
+        rows (native sched_dump). Single snapshot file, atomic rename.
+
+        Requires an addressable cache (single-process; under a multi-process
+        mesh, snapshot per-process state externally or via Orbax)."""
+        import pickle
+
+        assert self.mesh is None or jax.process_count() == 1, (
+            "snapshot() needs an addressable cache"
+        )
+        state = {
+            "cache": [None if x is None else np.asarray(x) for x in self.cache],
+            "rng": np.asarray(self.rng),
+            "prompt_len": self.prompt_len.copy(),
+            "gen_count": self.gen_count.copy(),
+            "next_token": self.next_token.copy(),
+            "has_token": self.has_token.copy(),
+            "sched_rows": self.sched.dump(),
+            "requests": {
+                rid: (np.asarray(r.ids), r.max_new_tokens, list(r.out))
+                for rid, r in self.requests.items()
+            },
+            "finished": {
+                rid: (np.asarray(r.ids), r.max_new_tokens, list(r.out))
+                for rid, r in self.finished.items()
+            },
+        }
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(state, f)
+        import os
+
+        os.replace(tmp, path)
+
+    @classmethod
+    def resume(cls, path: str, model, **engine_kwargs) -> "ScheduledBatchEngine":
+        """Rebuild an engine (same config knobs as the crashed one) from a
+        snapshot(): in-flight requests keep their slots, prefill progress,
+        emitted tokens and cache contents; waiting requests keep FIFO order."""
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        eng = cls(model, **engine_kwargs)
+        from ..cache import KVCache
+
+        cache = KVCache(*[None if x is None else jnp.asarray(x)
+                          for x in state["cache"]])
+        if eng.mesh is not None:
+            from ..parallel.sharding import shard_cache
+
+            cache = shard_cache(cache, eng._mc, eng.mesh)
+        eng.cache = cache
+        eng.rng = jnp.asarray(state["rng"])
+        eng.prompt_len = state["prompt_len"]
+        eng.gen_count = state["gen_count"]
+        eng.next_token = state["next_token"]
+        eng.has_token = state["has_token"]
+        for rid, (ids, mx, out) in state["requests"].items():
+            req = Request(request_id=rid, ids=ids, max_new_tokens=mx)
+            req.out = out
+            eng.requests[rid] = req
+            pad_chunks = (len(ids) + eng.pc - 1) // eng.pc + 1
+            pad = np.zeros(max(pad_chunks, 2) * eng.pc, np.int32)
+            pad[: len(ids)] = ids
+            eng.ids_pad[rid] = pad
+        for rid, (ids, mx, out) in state["finished"].items():
+            req = Request(request_id=rid, ids=ids, max_new_tokens=mx)
+            req.out, req.done = out, True
+            eng.finished[rid] = req
+        for row in state["sched_rows"]:
+            eng.sched.restore(row)
+        return eng

@@ -187,6 +187,60 @@ int32_t sched_slot_of(void* h, int64_t request_id) {
   return it == s->requests.end() ? -1 : it->second.slot;
 }
 
+// Snapshot every live request (slotted and waiting) in admission (seq)
+// order: ids[i] and 6 fields per row {slot(-1 = waiting), prompt_len,
+// max_new_tokens, prefilled, generated, priority}. Returns the row count.
+// Re-submitting the rows through sched_restore in this order reproduces the
+// scheduler state exactly (seq is re-issued monotonically on restore).
+int32_t sched_dump(void* h, int64_t* ids, int32_t* fields, int32_t cap) {
+  Scheduler* s = static_cast<Scheduler*>(h);
+  std::vector<const Request*> rows;
+  rows.reserve(s->requests.size());
+  for (auto& kv : s->requests) rows.push_back(&kv.second);
+  std::sort(rows.begin(), rows.end(),
+            [](const Request* a, const Request* b) { return a->seq < b->seq; });
+  int32_t n = 0;
+  for (const Request* r : rows) {
+    if (n >= cap) break;
+    ids[n] = r->id;
+    int32_t* f = fields + 6 * n;
+    f[0] = r->slot;
+    f[1] = r->prompt_len;
+    f[2] = r->max_new_tokens;
+    f[3] = r->prefilled;
+    f[4] = r->generated;
+    f[5] = r->priority;
+    n++;
+  }
+  return n;
+}
+
+// Restore one dumped row (crash-recovery path). slot >= 0 pins the request
+// back into its batch slot; slot < 0 re-queues it as waiting.
+int32_t sched_restore(void* h, int64_t id, int32_t slot, int32_t prompt_len,
+                      int32_t max_new_tokens, int32_t prefilled,
+                      int32_t generated, int32_t priority) {
+  Scheduler* s = static_cast<Scheduler*>(h);
+  if (s->requests.count(id)) return -1;
+  if (slot >= 0 && (slot >= s->n_slots || s->slot_owner[slot] >= 0)) return -2;
+  Request r;
+  r.id = id;
+  r.prompt_len = prompt_len;
+  r.max_new_tokens = max_new_tokens;
+  r.priority = priority;
+  r.seq = s->next_seq++;
+  r.slot = slot;
+  r.prefilled = prefilled;
+  r.generated = generated;
+  s->requests.emplace(id, r);
+  if (slot >= 0) {
+    s->slot_owner[slot] = id;
+  } else {
+    s->waiting.push_back(id);
+  }
+  return 0;
+}
+
 int32_t sched_num_waiting(void* h) {
   return static_cast<int32_t>(static_cast<Scheduler*>(h)->waiting.size());
 }

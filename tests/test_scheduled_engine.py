@@ -160,3 +160,37 @@ def test_scheduled_engine_on_mesh_matches_single_request():
     outs = eng.run_all()
     for i in range(2):
         assert outs[i] == singles[i], f"request {i} diverged on the mesh"
+
+
+def test_snapshot_resume_mid_flight(tmp_path):
+    """Failure recovery: kill an engine mid-generation (one request decoding,
+    one still waiting), resume from the snapshot in a fresh engine, and the
+    completed outputs equal an uninterrupted run token for token."""
+    model = make_model()
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 90, size=(n,)) for n in (15, 21, 12)]
+
+    def fresh(m):
+        return ScheduledBatchEngine(m, batch_slots=2, max_prompt=64, budget=8,
+                                    kv_policy="roco", temperature=1e-9,
+                                    top_p=1.0, prefill_chunk=16)
+
+    ref = fresh(model)
+    for i, p in enumerate(prompts):
+        ref.submit(Request(request_id=i, ids=p, max_new_tokens=9))
+    expected = ref.run_all()
+
+    eng = fresh(model)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(request_id=i, ids=p, max_new_tokens=9))
+    for _ in range(4):  # mid-flight: prefills done, some decodes emitted
+        eng.tick()
+    snap = str(tmp_path / "engine.snap")
+    eng.snapshot(snap)
+    del eng  # "crash"
+
+    resumed = ScheduledBatchEngine.resume(
+        snap, make_model(), batch_slots=2, max_prompt=64, budget=8,
+        kv_policy="roco", temperature=1e-9, top_p=1.0, prefill_chunk=16)
+    outs = resumed.run_all()
+    assert outs == expected
