@@ -10,8 +10,11 @@ Prints effective HBM bandwidth so the gap to the ~819 GB/s v5e spec (and to
 the full engine's step time) is attributable: GEMV efficiency vs attention/
 scatter/loop overhead. Run on the TPU host: python benchmarks/bench_gemv.py
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -116,6 +116,12 @@ class EngineStatics:
     # flags.sp_mesh() at generate() time — part of the statics so a flag flip
     # retraces instead of hitting the stale jitted graph (Mesh is hashable).
     sp: Optional[Tuple] = None
+    # (Mesh, data_axis, model_axis) for TP/DP serving, captured from
+    # flags.active_mesh(): the engine-built KV cache is sharding-constrained
+    # to cache_pspecs (KV heads on model, batch on data) so GSPMD lays it out
+    # to match the sharded params instead of inferring, and a mesh flip
+    # retraces.
+    tp: Optional[Tuple] = None
 
     @property
     def jdtype(self):
@@ -477,6 +483,39 @@ def _decode_loop(
     return DecodeResult(out, emitted, kv_len)
 
 
+def _engine_cache(st: EngineStatics, B: int, S: int) -> KVCache:
+    """Engine-built KV cache; under a registered TP/DP mesh (st.tp) the
+    buffer is sharding-constrained to cache_pspecs — KV heads on the model
+    axis, batch on data — so eviction stays shard-local and GSPMD doesn't
+    have to infer the layout from the attention ops.
+
+    The slot count is rounded up to a multiple of 128 (TPU lane width):
+    slot validity is `pos >= 0` and eviction is budget-gated, never
+    capacity-gated, so spare slots are inert — but an unaligned S made the
+    Pallas decode kernel wrapper jnp.pad-copy the ENTIRE K/V buffer every
+    layer every step (~0.5 ms/step at 7B, half the budgeted-vs-full gap)."""
+    S = ((S + 127) // 128) * 128
+    cache = init_cache(
+        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
+        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
+    )
+    if st.tp is None:
+        return cache
+    mesh, d_ax, m_ax = st.tp
+    from jax.sharding import NamedSharding
+
+    from ..config import MeshConfig
+    from ..parallel.sharding import cache_pspecs
+
+    mc = MeshConfig(data=mesh.shape[d_ax], model=mesh.shape[m_ax],
+                    axis_data=d_ax, axis_model=m_ax)
+    specs = cache_pspecs(mc)
+    return KVCache(*(
+        jax.lax.with_sharding_constraint(x, NamedSharding(mesh, s))
+        for x, s in zip(tuple(cache), tuple(specs))
+    ))
+
+
 # ---------------------------------------------------------------------------
 # Mode drivers (jitted; EngineStatics is the static arg)
 # ---------------------------------------------------------------------------
@@ -487,10 +526,7 @@ def _run_decoding(st: EngineStatics, params, ids_pad, prompt_len, temperature, t
     B = ids_pad.shape[0]
     gen_slots = st.max_new_tokens if st.policy == "full" else st.budget + 1
     S = st.length + gen_slots
-    cache = init_cache(
-        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
-    )
+    cache = _engine_cache(st, B, S)
     cache, last_logits = _prefill(st, params, cache, ids_pad, prompt_len, None, "zero")
     spec = st.decode_spec()
     res = _decode_loop(
@@ -507,10 +543,7 @@ def _run_encoding(st: EngineStatics, params, input_ids, temperature, top_p, seed
     eviction, then plain decode without eviction."""
     B = input_ids.shape[0]
     S = st.idx + st.stride + st.max_new_tokens
-    cache = init_cache(
-        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
-    )
+    cache = _engine_cache(st, B, S)
     spec = st.encode_spec()
     prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
     boot = spec if st.keep_attention else None
@@ -535,10 +568,7 @@ def _run_encdec(st: EngineStatics, params, input_ids, temperature, top_p, seed):
     prefill eviction, then per-step eviction through decode."""
     B = input_ids.shape[0]
     S = st.idx + st.stride
-    cache = init_cache(
-        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
-    )
+    cache = _engine_cache(st, B, S)
     enc_spec = st.encode_spec()
     prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
     boot = enc_spec if st.keep_attention else None
@@ -562,10 +592,7 @@ def _run_ppl(st: EngineStatics, params, input_ids, seed):
     """kv_mode='ppl', budgeted path (reference easykv.py:766-901)."""
     B = input_ids.shape[0]
     S = st.idx + st.stride
-    cache = init_cache(
-        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, S,
-        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
-    )
+    cache = _engine_cache(st, B, S)
     spec = st.encode_spec()
     prefix_len = jnp.full((B,), st.r_idx, jnp.int32)
     boot = spec if st.keep_attention else None
@@ -587,10 +614,7 @@ def _run_ppl_full(st: EngineStatics, params, input_ids):
     PC = min(PREFILL_CHUNK, _round_up(L, 8))
     L_pad = _round_up(L, PC)
     ids = jnp.pad(input_ids, ((0, 0), (0, L_pad - L)))
-    cache = init_cache(
-        st.cfg.num_hidden_layers, B, st.cfg.num_key_value_heads, L_pad,
-        st.cfg.head_dim, dtype=st.jdtype, quantized=st.kv_quant,
-    )
+    cache = _engine_cache(st, B, L_pad)
     true_len = jnp.full((B,), L, jnp.int32)
 
     def body(i, carry):
@@ -732,6 +756,7 @@ def generate(
         dtype=model.dtype, max_new_tokens=gc.max_new_tokens,
         kv_quant=getattr(model, "kv_quant", False),
         sp=flags.sp_mesh(),
+        tp=flags.active_mesh(),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

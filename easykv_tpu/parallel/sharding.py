@@ -66,14 +66,29 @@ def _tree_device_put(tree, specs, mesh: Mesh):
     )
 
 
-def shard_params(params, cfg: ModelConfig, mc: MeshConfig, mesh: Mesh):
+def param_pspecs_tree(params, cfg: ModelConfig, mc: MeshConfig):
+    """param_pspecs expanded to match a concrete param tree: quantized
+    linears ({"q","s"}) get the weight's spec on "q" and drop the contracted
+    (in) dim for the per-output-channel "s" scales; absent optional entries
+    (lm_head, biases) are pruned."""
+
+    def expand(spec: P, leaf):
+        if isinstance(leaf, dict):
+            return {"q": spec, "s": P(*(tuple(spec)[:-2] + tuple(spec)[-1:]))}
+        return spec
+
     specs = param_pspecs(cfg, mc)
-    if "lm_head" not in params:
-        specs = {k: v for k, v in specs.items() if k != "lm_head"}
-    specs["layers"] = {
-        k: v for k, v in specs["layers"].items() if k in params["layers"]
-    }
-    return _tree_device_put(params, specs, mesh)
+    out = {}
+    for k, v in params.items():
+        if k == "layers":
+            out[k] = {n: expand(specs["layers"][n], v[n]) for n in v}
+        else:
+            out[k] = expand(specs[k], v)
+    return out
+
+
+def shard_params(params, cfg: ModelConfig, mc: MeshConfig, mesh: Mesh):
+    return _tree_device_put(params, param_pspecs_tree(params, cfg, mc), mesh)
 
 
 def shard_cache(cache: KVCache, mc: MeshConfig, mesh: Mesh) -> KVCache:

@@ -64,6 +64,35 @@ class PolicySpec:
 _SORT_SELECT_K = 8
 
 
+def _kth_smallest(values: jax.Array, k: int) -> jax.Array:
+    """Exact k-th smallest value (1-indexed) along the last axis, via 32-step
+    binary search on the order-preserving bit pattern of f32 (sign bit
+    flipped for positives, all bits for negatives — the IEEE 754 total-order
+    trick). Returns (..., 1).
+
+    Replaces `jnp.sort(v)[..., k-1:k]` on the roco decode path: the bitonic
+    sort network inside the decode while_loop dominated the budgeted graph's
+    compile time (a scanned evict loop at 7B shapes took 21 min to compile
+    with the sort vs seconds with this; VERDICT r1 #2), and 32 masked
+    reductions are also cheaper to run than a full S·log²S sort.
+    NaN-free input assumed (the eviction masks use ±inf-like sentinels,
+    which map to the extremes and work fine)."""
+    bits = jax.lax.bitcast_convert_type(values.astype(jnp.float32), jnp.uint32)
+    flip = jnp.where(bits >> 31 == 1, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    bits = bits ^ flip
+
+    def body(i, prefix):
+        cand = prefix | (jnp.uint32(1) << (31 - i))
+        cnt = jnp.sum((bits < cand).astype(jnp.int32), axis=-1, keepdims=True)
+        return jnp.where(cnt >= k, prefix, cand)
+
+    kth = jax.lax.fori_loop(0, 32, body, jnp.zeros_like(bits[..., :1]))
+    flip = jnp.where(kth >> 31 == 0, jnp.uint32(0xFFFFFFFF),
+                     jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(kth ^ flip, jnp.float32)
+
+
 def _smallest_k(
     values: jax.Array, mask: jax.Array, k: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -188,10 +217,11 @@ def select_evictions(
         # the set and running a second top_k (reference easykv.py:322-323),
         # take the k-th smallest std as a threshold and mask — equivalent
         # because the force encoding keeps stds distinct, and cheaper on TPU.
-        # The k-th smallest comes from a full sort, not top_k: top_k's TPU
-        # lowering scales with k (k~140 here blew the budgeted-graph compile
-        # up 25x vs full-cache).
-        thresh = jnp.sort(std, axis=-1)[..., spec.feasible_k - 1 : spec.feasible_k]
+        # The k-th smallest comes from a 32-step bit bisection (_kth_smallest),
+        # not a sort or top_k: top_k's TPU lowering scales with k (k~140) and
+        # the bitonic sort network blew the budgeted-graph compile up ~25x
+        # vs full-cache (VERDICT r1 #2).
+        thresh = _kth_smallest(std, spec.feasible_k)
         feasible = std <= thresh
         # Stage 2: lowest time-averaged score within the feasible set
         # (easykv.py:323, :475, :723).

@@ -195,7 +195,10 @@ class ContinuousBatchEngine:
             policy, PHASE_DECODE, 1, 4, rw,
             feasible_k=max(budget - rw, 1), protect_prompt=True,
         )
-        S = max_prompt + budget + 1
+        # 128-aligned slot count: spare slots are inert (validity = pos>=0,
+        # eviction budget-gated) and alignment avoids the Pallas wrapper's
+        # whole-buffer jnp.pad copy (engine/generate._engine_cache).
+        S = ((max_prompt + budget + 1 + 127) // 128) * 128
         dtype = jnp.dtype(model.dtype)
         self.cache = init_cache(
             self.cfg.num_hidden_layers, self.B, self.cfg.num_key_value_heads,

@@ -62,7 +62,7 @@ class ScheduledBatchEngine:
             policy, PHASE_DECODE, 1, 4, rw,
             feasible_k=max(budget - rw, 1), protect_prompt=True,
         )
-        S = max_prompt + budget + 1
+        S = ((max_prompt + budget + 1 + 127) // 128) * 128  # lane-aligned
         self.cache = init_cache(
             self.cfg.num_hidden_layers, self.B, self.cfg.num_key_value_heads,
             S, self.cfg.head_dim, jnp.dtype(model.dtype),

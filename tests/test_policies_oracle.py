@@ -262,3 +262,20 @@ def test_encdec_decode_phase_matches_oracle(policy):
         )
         if policy in ("roco", "tova"):
             check_sidecars(cl, oracle, counters=(policy == "roco"))
+
+
+def test_kth_smallest_matches_sort():
+    """_kth_smallest (bit-bisection radix select) is bit-exact vs jnp.sort
+    for every k, including inf sentinels, duplicates, and negatives."""
+    import numpy as np
+
+    from easykv_tpu.policies import _kth_smallest
+
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((3, 4, 97)) * 50).astype(np.float32)
+    x[..., :20] = np.float32(1e30)            # STD_EXCLUDE-style sentinel
+    x[0, 0, 30:35] = x[0, 0, 40]              # ties
+    ref = np.sort(x, axis=-1)
+    for k in (1, 7, 50, 97):
+        got = np.asarray(_kth_smallest(jnp.asarray(x), k))[..., 0]
+        np.testing.assert_array_equal(got, ref[..., k - 1])

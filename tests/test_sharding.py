@@ -110,6 +110,39 @@ def test_cache_sharding_layout():
     assert shard.data.shape == (L, B // data, H // model, S, D)
 
 
+def test_engine_generate_sharded_quantized_matches_single_device():
+    """Full generate() under flags.set_active_mesh with int8 (w8a16) params
+    sharded via param_pspecs_tree ({"q","s"} leaves) + the engine-built cache
+    sharding-constrained to cache_pspecs: greedy tokens match the unsharded
+    run exactly."""
+    from easykv_tpu import CausalLM, flags, generate
+    from easykv_tpu.ops.quant import quantize_params
+
+    data, model = 2, 4
+    mc, mesh, cfg, params = _setup(data, model)
+    qparams = quantize_params(params)
+    model_q = CausalLM(cfg, qparams, dtype="float32")
+    ids = np.random.default_rng(3).integers(1, 60, size=(24,))
+    gc = {"budget": 10, "kv_policy": "roco", "max_new_tokens": 12,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    ref = generate(model_q, ids, gc, kv_mode="decoding")
+
+    sp = shard_params(qparams, cfg, mc, mesh)
+    # quantized leaves land sharded: wq "q" on model (out dim), "s" 1:1 with
+    # the out dim; row-parallel wo scales replicated
+    wq = sp["layers"]["wq"]
+    assert wq["q"].sharding.spec == P(None, None, "model")
+    assert wq["s"].sharding.spec == P(None, "model")
+    assert sp["layers"]["wo"]["s"].sharding.spec == P(None, None)
+    model_s = CausalLM(cfg, sp, dtype="float32")
+    flags.set_active_mesh(mesh, mc.axis_data, mc.axis_model)
+    try:
+        out = generate(model_s, ids, gc, kv_mode="decoding")
+    finally:
+        flags.set_active_mesh(None)
+    assert out == ref
+
+
 def test_dryrun_entrypoint():
     import __graft_entry__ as g
 
