@@ -122,6 +122,11 @@ class EngineStatics:
     # to match the sharded params instead of inferring, and a mesh flip
     # retraces.
     tp: Optional[Tuple] = None
+    # Effective Pallas-kernel state (attention, sidecar) at generate() time:
+    # unused in the graph but part of the jit cache key, so flags.use_pallas /
+    # flags.use_sidecar flips retrace instead of serving the other path's
+    # cached trace.
+    pallas: Tuple = (False, False)
 
     @property
     def jdtype(self):
@@ -757,6 +762,7 @@ def generate(
         kv_quant=getattr(model, "kv_quant", False),
         sp=flags.sp_mesh(),
         tp=flags.active_mesh(),
+        pallas=(flags.pallas_enabled(), flags.sidecar_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

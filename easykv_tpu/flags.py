@@ -60,6 +60,27 @@ def pallas_enabled() -> bool:
     return jax.device_count() == 1 or _ACTIVE_MESH is not None
 
 
+_SIDECAR_OVERRIDE: Optional[bool] = None
+
+
+def use_sidecar(enabled: Optional[bool]) -> None:
+    """Force the fused sidecar write/evict kernels on/off independently of
+    the decode-attention kernel (None = auto: follow pallas_enabled)."""
+    global _SIDECAR_OVERRIDE
+    _SIDECAR_OVERRIDE = enabled
+
+
+def sidecar_enabled() -> bool:
+    import os
+
+    if _SIDECAR_OVERRIDE is not None:
+        return _SIDECAR_OVERRIDE and pallas_enabled()
+    env = os.environ.get("EASYKV_TPU_SIDECAR")
+    if env is not None:
+        return env not in ("0", "false", "off") and pallas_enabled()
+    return pallas_enabled()
+
+
 def pallas_interpret() -> bool:
     """Pallas kernels need interpret mode off-TPU (CPU mesh tests)."""
     import jax

@@ -375,9 +375,14 @@ def _decode_forward(
         elif mesh.size == 1:
             mesh_info = None  # trivial mesh: call the kernel directly
 
-    # One batched free-slot select for all layers (replaces L in-scan top_ks).
-    ids_all = free_slot_ids(cache.pos.reshape(L * B, Hkv, S), 1)
-    ids_all = ids_all.reshape(L, B, Hkv, 1)
+    # Fused sidecar path: slot select + score update + sidecar row write
+    # happen in one Pallas pass after the scan (ops/pallas/sidecar_update);
+    # otherwise one batched free-slot select for all layers here (replaces
+    # L in-scan top_ks).
+    use_sidecar_kernel = use_kernel and S % 128 == 0 and flags.sidecar_enabled()
+    if not use_sidecar_kernel:
+        ids_all = free_slot_ids(cache.pos.reshape(L * B, Hkv, S), 1)
+        ids_all = ids_all.reshape(L, B, Hkv, 1)
 
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
     q_pos = ctx.q_pos  # (B, 1)
@@ -427,8 +432,77 @@ def _decode_forward(
     h, (kn, vn, probs, p_new) = jax.lax.scan(
         layer, h, (params["layers"], tuple(cache))
     )
-    new_cache = _decode_write(cache, ids_all, kn, vn, probs, p_new, ctx, spec)
+    if use_sidecar_kernel:
+        from ..ops.pallas.sidecar_update import (
+            fused_write_update, fused_write_update_sharded,
+        )
+
+        tv = ctx.token_valid[:, 0]
+        ug = ctx.update_gate
+        if ug.ndim == 0:
+            ug = jnp.broadcast_to(ug, (B,))
+        sc_args = (
+            cache.pos, cache.score, cache.score_sq, cache.counter,
+            probs, p_new, ctx.q_pos[:, 0], tv, ug, ctx.counter_init[:, 0],
+        )
+        policy = None if spec is None else spec.policy
+        if mesh_info is not None:
+            pos, score, ssq, counter, ids_all = fused_write_update_sharded(
+                *sc_args, mesh=mesh_info[0], data_axis=mesh_info[1],
+                model_axis=mesh_info[2], policy=policy, interpret=interp,
+            )
+        else:
+            pos, score, ssq, counter, ids_all = fused_write_update(
+                *sc_args, policy=policy, interpret=interp,
+            )
+        new_cache = cache._replace(
+            pos=pos, score=score, score_sq=ssq, counter=counter,
+        )
+        new_cache = _write_kv_rows(new_cache, ids_all, kn, vn, tv)
+    else:
+        new_cache = _decode_write(cache, ids_all, kn, vn, probs, p_new, ctx,
+                                  spec)
     return _logits_tail(h, params, cfg), new_cache
+
+
+def _write_kv_rows(
+    cache: KVCache,
+    ids: jax.Array,   # (L, B, H, 1) write slots
+    kn: jax.Array,    # (L, B, H, 1, D) rotated, unquantized
+    vn: jax.Array,    # (L, B, H, 1, D)
+    live: jax.Array,  # (B,) bool
+) -> KVCache:
+    """K/V (+ dequant scale) row scatter of a decode step — the companion of
+    the fused sidecar kernel, which owns pos/score/score_sq/counter. Rows
+    with live=False write back their current contents (no-op)."""
+    L, B, H, _ = ids.shape
+    l_ix = jnp.arange(L)[:, None, None, None]
+    b_ix = jnp.arange(B)[None, :, None, None]
+    h_ix = jnp.arange(H)[None, None, :, None]
+    lv = live[None, :, None, None]
+    cur = lambda arr: jnp.take_along_axis(arr, ids, axis=3)
+
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.k.dtype == jnp.int8:
+        knq, k_sc = quantize_kv(kn)
+        vnq, v_sc = quantize_kv(vn)
+        k_w = jnp.where(lv[..., None], knq, cur4(cache.k, ids))
+        v_w = jnp.where(lv[..., None], vnq, cur4(cache.v, ids))
+        ksc_w = jnp.where(lv, k_sc, cur(cache.k_scale))
+        vsc_w = jnp.where(lv, v_sc, cur(cache.v_scale))
+        k_scale = k_scale.at[l_ix, b_ix, h_ix, ids].set(ksc_w)
+        v_scale = v_scale.at[l_ix, b_ix, h_ix, ids].set(vsc_w)
+    else:
+        k_w = jnp.where(lv[..., None], kn.astype(cache.k.dtype),
+                        cur4(cache.k, ids))
+        v_w = jnp.where(lv[..., None], vn.astype(cache.v.dtype),
+                        cur4(cache.v, ids))
+    return cache._replace(
+        k=cache.k.at[l_ix, b_ix, h_ix, ids].set(k_w),
+        v=cache.v.at[l_ix, b_ix, h_ix, ids].set(v_w),
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
 
 
 def _decode_write(

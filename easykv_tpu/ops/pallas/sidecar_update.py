@@ -1,0 +1,345 @@
+"""Fused Pallas TPU kernels for the per-step sidecar pipeline of a budgeted
+decode step.
+
+Two entry points, matching the engine's two-phase structure (forward writes,
+then the engine applies one eviction event — reference easykv.py:302-362
+ordering):
+
+  fused_write_update   replaces free_slot_ids (top_k) + the policy score
+                       update + the 4-array sidecar scatter of
+                       models/llama._decode_write — slot select, score/
+                       score_sq update (reference easykv.py:288-300), and
+                       the new token's sidecar row write in one VMEM pass.
+                       K/V row writes stay outside (128-byte scatters;
+                       routing the multi-MB K/V blocks through VMEM would
+                       double attention-class HBM traffic).
+
+  fused_evict          replaces bump_counters + select_evictions (std +
+                       threshold + argmin, multiple full-buffer passes) +
+                       evict_slots inside policies.evict_cache for
+                       PHASE_DECODE / k=1 specs.
+
+Exactness: same masks, the same first-occurrence tie-breaks as
+lax.top_k(k=1), and the roco threshold as the exact k-th smallest std via
+bit bisection (non-negative f32s bitcast to int32 preserve order — see
+policies._kth_smallest). Verified bit-exact against the XLA path by
+tests/test_sidecar_kernel.py and the oracle lockstep suite.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...policies import ROCO_STD_GUARD, PHASE_DECODE, PolicySpec
+
+INT_MAX = 2**31 - 1
+F32_EXCLUDE = 1e30   # matches policies.STD_EXCLUDE
+F32_FORCE = 1e9      # matches policies.STD_FORCE
+
+# Eviction selections the kernel implements (PHASE_DECODE paths).
+SUPPORTED = ("h2o_head", "tova", "roco", "recency", "random")
+
+
+def evict_supported(spec: Optional[PolicySpec]) -> bool:
+    return (spec is not None and spec.phase == PHASE_DECODE and spec.k == 1
+            and spec.policy in SUPPORTED)
+
+
+def _iota_s(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+
+
+def _first_min_idx(val, sentinel_count):
+    """Index of the first occurrence of the minimum along the last axis —
+    the lax.top_k(-x, 1) / stable-sort tie order."""
+    m = jnp.min(val, axis=-1, keepdims=True)
+    idx = jnp.where(val == m, _iota_s(val.shape), sentinel_count)
+    return jnp.min(idx, axis=-1, keepdims=True)
+
+
+def _kth_smallest_bits(bits, k, nbits=31):
+    """Exact k-th smallest of non-negative int32 `bits` along the last axis
+    (31-step bisection; values must be >= 0 so the sign bit is clear).
+    Returns (..., 1)."""
+
+    def body(i, prefix):
+        cand = prefix | jax.lax.shift_left(jnp.int32(1), nbits - 1 - i)
+        cnt = jnp.sum((bits < cand).astype(jnp.int32), axis=-1, keepdims=True)
+        return jnp.where(cnt >= k, prefix, cand)
+
+    return jax.lax.fori_loop(0, nbits, body, jnp.zeros_like(bits[..., :1]))
+
+
+# ---------------------------------------------------------------------------
+# write kernel
+# ---------------------------------------------------------------------------
+
+def _write_kernel(iparams_ref, fparams_ref,
+                  pos_ref, score_ref, ssq_ref, counter_ref, probs_ref,
+                  pnew_ref,
+                  pos_out, score_out, ssq_out, counter_out, slot_out,
+                  *, policy: Optional[str]):
+    b = pl.program_id(1)
+    pos = pos_ref[0, 0]          # (H, S) int32
+    score = score_ref[0, 0]      # (H, S) f32
+    ssq = ssq_ref[0, 0]
+    counter = counter_ref[0, 0]
+    probs = probs_ref[0, 0]      # (H, S) f32 (exactly 0 at invalid slots)
+    p_new = pnew_ref[0, 0]       # (H, 1) f32
+
+    q_pos = iparams_ref[b, 0]
+    live = iparams_ref[b, 1] != 0
+    g_upd = iparams_ref[b, 2] != 0
+    cinit = fparams_ref[b, 0]
+
+    H, S = pos.shape
+    iota = _iota_s((H, S))
+
+    # write slot: first free (pos < 0) index per head; an all-full row falls
+    # back to slot 0 exactly like free_slot_ids' top_k over an all-zero key
+    # (cannot fire: the ring always keeps >= 1 free slot pre-write)
+    free_key = jnp.where(pos < 0, 2 * S - iota, 0)
+    m = jnp.max(free_key, axis=-1, keepdims=True)
+    slot = jnp.min(jnp.where(free_key == m, iota, S), axis=-1, keepdims=True)
+
+    # policy score update over cached slots (_decode_write semantics)
+    gf = (g_upd).astype(jnp.float32)
+    s_new = jnp.zeros_like(p_new)
+    sq_new = jnp.zeros_like(p_new)
+    if policy in ("h2o_head", "roco"):
+        score = score + probs * gf
+        s_new = p_new * gf
+        if policy == "roco":
+            ssq = ssq + probs * probs * gf
+            sq_new = p_new * p_new * gf
+    elif policy == "tova":
+        score = jnp.where(g_upd, probs, score)
+        s_new = p_new * gf
+
+    # write the new token's sidecar row at `slot`
+    at_slot = (iota == slot) & live
+    pos = jnp.where(at_slot, q_pos, pos)
+    counter = jnp.where(at_slot, cinit, counter)
+    score = jnp.where(at_slot, s_new, score)
+    ssq = jnp.where(at_slot, sq_new, ssq)
+
+    pos_out[0, 0] = pos
+    score_out[0, 0] = score
+    ssq_out[0, 0] = ssq
+    counter_out[0, 0] = counter
+    slot_out[0, 0] = jnp.broadcast_to(slot, slot_out.shape[2:])
+
+
+@functools.partial(jax.jit, static_argnames=("policy", "interpret"))
+def fused_write_update(
+    pos: jax.Array,        # (L, B, H, S) int32
+    score: jax.Array,      # (L, B, H, S) f32
+    score_sq: jax.Array,   # (L, B, H, S) f32
+    counter: jax.Array,    # (L, B, H, S) f32
+    probs: jax.Array,      # (L, B, H, S) f32 GQA-mean attention mass
+    p_new: jax.Array,      # (L, B, H, 1) f32 in-flight token's probability
+    q_pos: jax.Array,          # (B,) int32
+    token_valid: jax.Array,    # (B,) bool
+    update_gate: jax.Array,    # (B,) bool
+    counter_init: jax.Array,   # (B,) f32
+    policy: Optional[str],
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Returns (pos, score, score_sq, counter, write_slot (L, B, H, 1))."""
+    L, B, H, S = pos.shape
+    assert S % 128 == 0, "ring buffer must be lane-aligned (engine rounds up)"
+    iparams = jnp.stack(
+        [q_pos, token_valid.astype(jnp.int32), update_gate.astype(jnp.int32)],
+        axis=-1,
+    )
+    fparams = counter_init[:, None].astype(jnp.float32)
+
+    def spec4(shape):
+        return pl.BlockSpec(shape, lambda l, b, ip, fp: (l, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(L, B),
+        in_specs=[spec4((1, 1, H, S))] * 5 + [spec4((1, 1, H, 1))],
+        out_specs=[spec4((1, 1, H, S))] * 4 + [spec4((1, 1, H, 1))],
+    )
+    return pl.pallas_call(
+        functools.partial(_write_kernel, policy=policy),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, H, S), jnp.int32),
+            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(iparams, fparams, pos, score, score_sq, counter, probs, p_new)
+
+
+def fused_write_update_sharded(
+    *args, mesh, data_axis="data", model_axis="model", policy, interpret=False
+):
+    """fused_write_update under a (data, model) mesh via shard_map: batch
+    shards over data, KV heads over model, zero communication."""
+    from jax.sharding import PartitionSpec as P
+
+    d, m = data_axis, model_axis
+    p4 = P(None, d, m, None)
+    pb = P(d)
+
+    def fn(pos, score, ssq, counter, probs, p_new, q_pos, tv, ug, ci):
+        return fused_write_update(pos, score, ssq, counter, probs, p_new,
+                                  q_pos, tv, ug, ci, policy=policy,
+                                  interpret=interpret)
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(p4,) * 6 + (pb,) * 4,
+        out_specs=(p4,) * 5, check_vma=False,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# evict kernel
+# ---------------------------------------------------------------------------
+
+def _evict_kernel(iparams_ref,
+                  pos_ref, score_ref, ssq_ref, counter_ref,
+                  pos_out, counter_out,
+                  *, policy: str, k_evict: int, recent_window: int,
+                  feasible_k: int, protect_prompt: bool):
+    b = pl.program_id(1)
+    pos = pos_ref[0, 0]
+    score = score_ref[0, 0]
+    ssq = ssq_ref[0, 0]
+    counter = counter_ref[0, 0]
+
+    g_evt = iparams_ref[b, 0] != 0
+    next_pos = iparams_ref[b, 1]
+    prompt_len = iparams_ref[b, 2]
+    rand_rank = iparams_ref[b, 3]
+
+    H, S = pos.shape
+    iota = _iota_s((H, S))
+
+    # bump (policies.bump_counters, gated per batch row)
+    counter = counter + jnp.float32(k_evict) * g_evt.astype(jnp.float32)
+
+    valid = pos >= 0
+    base = valid
+    if protect_prompt:
+        base = base & (pos >= prompt_len)
+
+    if policy in ("h2o_head", "tova"):
+        cand = base
+        if policy == "h2o_head":
+            cand = cand & (pos < next_pos - recent_window)
+        victim = _first_min_idx(
+            jnp.where(cand, score, jnp.float32(jnp.inf)), S
+        )
+    elif policy == "recency":
+        victim = _first_min_idx(
+            jnp.where(base, pos.astype(jnp.float32), jnp.float32(jnp.inf)), S
+        )
+    elif policy == "random":
+        # slot whose age rank == rand_rank among candidates: the exact
+        # (rand_rank+1)-th smallest position (unique, >= 0) — the
+        # _slots_at_ranks semantics
+        p_masked = jnp.where(base, pos, INT_MAX)
+        target = _kth_smallest_bits(p_masked, rand_rank + 1)
+        victim = _first_min_idx(jnp.where(p_masked == target, iota, S), S)
+    else:  # roco
+        mean = score / counter
+        var = ssq / counter - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        forced = pos >= next_pos - ROCO_STD_GUARD
+        force_val = jnp.float32(F32_FORCE) + pos.astype(jnp.float32) * 1024.0
+        std = jnp.where(forced, force_val, std)
+        std = jnp.where(base, std, jnp.float32(F32_EXCLUDE))
+        # stds are all >= 0, so the raw bit pattern is order-preserving
+        bits = jax.lax.bitcast_convert_type(std, jnp.int32)
+        kth = _kth_smallest_bits(bits, feasible_k)
+        feasible = bits <= kth
+        avg = score / counter
+        victim = _first_min_idx(
+            jnp.where(feasible, avg, jnp.float32(jnp.inf)), S
+        )
+
+    ev = (iota == victim) & g_evt
+    pos_out[0, 0] = jnp.where(ev, -1, pos)
+    counter_out[0, 0] = counter
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "interpret"))
+def fused_evict(
+    pos: jax.Array,        # (L, B, H, S) int32
+    score: jax.Array,      # (L, B, H, S) f32
+    score_sq: jax.Array,   # (L, B, H, S) f32
+    counter: jax.Array,    # (L, B, H, S) f32
+    evict_gate: jax.Array,   # (B,) bool
+    next_pos: jax.Array,     # (B,) int32
+    prompt_len: jax.Array,   # (B,) int32
+    rand_rank: jax.Array,    # (B,) int32
+    spec: PolicySpec,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """One gated eviction event. Returns (pos, counter) — score/score_sq are
+    read-only here (evict_slots only invalidates pos; bump only ages
+    counters)."""
+    L, B, H, S = pos.shape
+    assert S % 128 == 0
+    iparams = jnp.stack(
+        [evict_gate.astype(jnp.int32), next_pos, prompt_len, rand_rank],
+        axis=-1,
+    )
+
+    def spec4(shape):
+        return pl.BlockSpec(shape, lambda l, b, ip: (l, b, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    kern = functools.partial(
+        _evict_kernel, policy=spec.policy, k_evict=spec.k,
+        recent_window=spec.recent_window,
+        feasible_k=max(spec.feasible_k, 1),
+        protect_prompt=bool(spec.protect_prompt),
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L, B),
+        in_specs=[spec4((1, 1, H, S))] * 4,
+        out_specs=[spec4((1, 1, H, S))] * 2,
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, H, S), jnp.int32),
+            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(iparams, pos, score, score_sq, counter)
+
+
+def fused_evict_sharded(
+    *args, mesh, data_axis="data", model_axis="model", spec, interpret=False
+):
+    from jax.sharding import PartitionSpec as P
+
+    d, m = data_axis, model_axis
+    p4 = P(None, d, m, None)
+    pb = P(d)
+
+    def fn(pos, score, ssq, counter, eg, np_, pl_, rr):
+        return fused_evict(pos, score, ssq, counter, eg, np_, pl_, rr,
+                           spec=spec, interpret=interpret)
+
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=(p4,) * 4 + (pb,) * 4,
+        out_specs=(p4, p4), check_vma=False,
+    )(*args)

@@ -370,6 +370,52 @@ def evict_cache(
     the same but costs ~3% decode throughput from the every-step sort, so
     the cond stays.)"""
     L, B = cache.pos.shape[:2]
+    H, S = cache.pos.shape[2:]
+
+    # Fused Pallas path: bump + select + invalidate in ONE VMEM pass
+    # (ops/pallas/sidecar_update.fused_evict) instead of the multi-pass
+    # std/threshold/argmin/scatter chain — PHASE_DECODE / k=1 specs only.
+    from . import flags as _flags
+    from .ops.pallas import sidecar_update as _sk
+
+    use_kernel = (_sk.evict_supported(spec) and _flags.sidecar_enabled()
+                  and S % 128 == 0)
+    mesh_info = _flags.active_mesh() if use_kernel else None
+    if mesh_info is not None:
+        mesh = mesh_info[0]
+        dsz = mesh.shape.get(mesh_info[1], 1)
+        msz = mesh.shape.get(mesh_info[2], 1)
+        if B % dsz != 0 or H % msz != 0:
+            use_kernel = mesh.size == 1  # uneven shards under a real mesh
+            mesh_info = None
+        elif mesh.size == 1:
+            mesh_info = None  # trivial mesh: call the kernel directly
+
+    if use_kernel:
+        interp = _flags.pallas_interpret()
+
+        def do_evict_k(sc):
+            pos, score, score_sq, counter = sc
+            if mesh_info is not None:
+                pos, counter = _sk.fused_evict_sharded(
+                    pos, score, score_sq, counter, gate, next_pos,
+                    prompt_len, rand_rank, mesh=mesh_info[0],
+                    data_axis=mesh_info[1], model_axis=mesh_info[2],
+                    spec=spec, interpret=interp,
+                )
+            else:
+                pos, counter = _sk.fused_evict(
+                    pos, score, score_sq, counter, gate, next_pos,
+                    prompt_len, rand_rank, spec=spec, interpret=interp,
+                )
+            return (pos, score, score_sq, counter)
+
+        sc = (cache.pos, cache.score, cache.score_sq, cache.counter)
+        pos, score, score_sq, counter = jax.lax.cond(
+            jnp.any(gate), do_evict_k, lambda s: s, sc
+        )
+        return cache._replace(pos=pos, score=score, score_sq=score_sq,
+                              counter=counter)
 
     def fold(x):
         return x.reshape((L * B,) + x.shape[2:])

@@ -54,3 +54,53 @@ def test_filtered_distribution_support():
     for i in range(50):
         tok = int(sample_token(jax.random.PRNGKey(i), probs)[0])
         assert support[tok]
+
+
+def test_nucleus_mask_matches_sorted_keep_set():
+    """Sort-free nucleus_mask == the sorted (cumsum - p) <= top_p kept set,
+    mapped back through the permutation — including boundary ties."""
+    import numpy as np
+
+    from easykv_tpu.sampling import nucleus_mask
+
+    rng = np.random.default_rng(0)
+    for trial in range(30):
+        V = rng.integers(8, 300)
+        logits = rng.standard_normal((2, V)).astype(np.float32) * 3
+        if trial % 3 == 0:  # plant exact ties, some at the likely boundary
+            logits[:, : V // 2] = logits[:, V // 2 : V // 2 * 2][:, ::-1]
+        prob = np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+        top_p = float(rng.choice([0.01, 0.3, 0.9, 0.95, 0.999]))
+
+        order = np.argsort(-prob, axis=-1, kind="stable")
+        sp = np.take_along_axis(prob, order, axis=-1)
+        keep_sorted = (np.cumsum(sp, axis=-1) - sp) <= top_p
+        ref = np.zeros_like(keep_sorted)
+        np.put_along_axis(ref, order, keep_sorted, axis=-1)
+        # zero-prob tokens carry no mass: the sorted set may include them at
+        # top_p ~ 1, the bisection set never does — normalize the comparison
+        ref &= prob > 0
+
+        got = np.asarray(nucleus_mask(jnp.asarray(prob), jnp.float32(top_p)))
+        np.testing.assert_array_equal(got, ref, err_msg=f"trial {trial} p={top_p}")
+
+
+def test_sample_topp_greedy_and_support():
+    """Greedy (tiny temperature) picks argmax; at temp>0 every sampled token
+    lies in the exact nucleus."""
+    import numpy as np
+
+    from easykv_tpu.sampling import nucleus_mask, sample_topp
+
+    rng = np.random.default_rng(1)
+    logits = jnp.asarray(rng.standard_normal((3, 64)).astype(np.float32) * 2)
+    tok = sample_topp(jax.random.PRNGKey(0), logits, jnp.float32(1e-9),
+                      jnp.float32(1.0))
+    np.testing.assert_array_equal(np.asarray(tok),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    prob = jax.nn.softmax(logits / 0.7, axis=-1)
+    keep = np.asarray(nucleus_mask(prob, jnp.float32(0.8)))
+    for s in range(50):
+        tok = np.asarray(sample_topp(jax.random.PRNGKey(s), logits,
+                                     jnp.float32(0.7), jnp.float32(0.8)))
+        assert all(keep[i, t] for i, t in enumerate(tok))
