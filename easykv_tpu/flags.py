@@ -81,6 +81,27 @@ def sidecar_enabled() -> bool:
     return pallas_enabled()
 
 
+_W4_KERNEL_OVERRIDE: Optional[bool] = None
+
+
+def use_w4_kernel(enabled: Optional[bool]) -> None:
+    """Force the Pallas w4a16 GEMV kernel on/off (None = auto: follow
+    pallas_enabled; see RESULTS.md for the measured default)."""
+    global _W4_KERNEL_OVERRIDE
+    _W4_KERNEL_OVERRIDE = enabled
+
+
+def w4_kernel_enabled() -> bool:
+    import os
+
+    if _W4_KERNEL_OVERRIDE is not None:
+        return _W4_KERNEL_OVERRIDE and pallas_enabled()
+    env = os.environ.get("EASYKV_TPU_W4_KERNEL")
+    if env is not None:
+        return env not in ("0", "false", "off") and pallas_enabled()
+    return False
+
+
 def pallas_interpret() -> bool:
     """Pallas kernels need interpret mode off-TPU (CPU mesh tests)."""
     import jax

@@ -1,12 +1,20 @@
-"""Int8 weight quantization (w8a16): per-output-channel symmetric scales.
+"""Int8/int4 weight quantization (w8a16 / w4a16).
 
-Enables LLaMa2-7B on a single 16 GB v5e chip (bf16 weights alone are
-13.5 GB; int8 halves that) and halves the HBM traffic of the weight-bound
-decode loop. The int8->bf16 convert is fused into the matmul by XLA; the
-scale multiply is a fused epilogue.
+w8a16: per-output-channel symmetric scales. Enables LLaMa2-7B on a single
+16 GB v5e chip (bf16 weights alone are 13.5 GB; int8 halves that) and
+halves the HBM traffic of the weight-bound decode loop. The int8->bf16
+convert is fused into the matmul by XLA; the scale multiply is a fused
+epilogue.
 
-A quantized linear is a dict {"q": int8 (in, out), "s": f32 (out,)}; plain
-arrays pass through `mm` untouched, so the model code is layout-agnostic.
+w4a16: group-wise symmetric scales (AWQ/GPTQ-style, default group 128
+along the contraction dim). Halves the weight bytes again — the decode
+loop is weight-streaming-bound, so the throughput ceiling scales with
+1/bytes. XLA stores s4 packed (2 values/byte) in HBM.
+
+Layouts (plain arrays pass through `mm` untouched, so model code is
+layout-agnostic):
+  int8: {"q":  int8 (.., in, out), "s":  f32 (.., out)}
+  int4: {"q4": int4 (.., in, out), "gs": f32 (.., in//G, out)}
 """
 from __future__ import annotations
 
@@ -27,6 +35,43 @@ def quantize_linear(w: jax.Array, axis: int = -1) -> QuantLinear:
     return {"q": q, "s": scale.squeeze(-2).astype(jnp.float32)}
 
 
+def quantize_linear_int4(w: jax.Array, group_size: int = 128) -> QuantLinear:
+    """Symmetric group-wise int4 quantization of (.., in, out).
+
+    Scales are per (input-group, output-channel): the `in` dim is split into
+    groups of `group_size` and each (group, column) gets its own scale —
+    the standard w4 recipe (per-channel-only int4 loses too much). Values
+    are clipped to [-7, 7] (symmetric, -8 unused)."""
+    *lead, K, N = w.shape
+    if K % group_size != 0:
+        raise ValueError(f"in dim {K} not divisible by group {group_size}")
+    gc = K // group_size
+    wf = w.astype(jnp.float32).reshape(*lead, gc, group_size, N)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)      # (.., gc, 1, N)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+    return {
+        "q4": q.reshape(*lead, K, N),
+        "gs": scale.squeeze(-2).astype(jnp.float32),          # (.., gc, N)
+    }
+
+
+def _mm_int4(x: jax.Array, q4: jax.Array, gs: jax.Array) -> jax.Array:
+    """x (.., K) @ dequant(q4 (K, N), gs (gc, N)) without materializing the
+    bf16 weights: one grouped dot per scale group (batched matmul), scales
+    applied to the f32 group partials."""
+    K, N = q4.shape
+    gc = gs.shape[0]
+    gk = K // gc
+    xg = x.reshape(x.shape[:-1] + (gc, gk))
+    wg = q4.reshape(gc, gk, N).astype(x.dtype)
+    y = jnp.einsum(
+        "...gk,gkn->...gn", xg, wg, preferred_element_type=jnp.float32
+    )
+    y = jnp.sum(y * gs, axis=-2)
+    return y.astype(x.dtype)
+
+
 USE_PALLAS_MATMUL = False  # measured slower than XLA's int8 path end-to-end
 # on v5e (39.5 vs 62.3 tok/s at 7B decode) — XLA's convert-before-dot fuses
 # better than feared; ops/pallas/quant_matmul.py remains available for
@@ -38,6 +83,21 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
     XLA into the dot; see USE_PALLAS_MATMUL for the Pallas alternative)."""
     if not isinstance(w, dict):
         return x @ w
+    if "q4" in w:
+        from .. import flags
+
+        if flags.w4_kernel_enabled() and w["q4"].ndim == 2:
+            lead = x.shape[:-1]
+            M = 1
+            for d in lead:
+                M *= d
+            if M <= 8:
+                from .pallas.w4_matmul import w4a16_gemv
+
+                y2 = w4a16_gemv(x.reshape(M, x.shape[-1]), w["q4"], w["gs"],
+                                interpret=flags.pallas_interpret())
+                return y2.reshape(lead + (w["q4"].shape[-1],))
+        return _mm_int4(x, w["q4"], w["gs"])
     if USE_PALLAS_MATMUL and w["q"].ndim == 2:
         lead = x.shape[:-1]
         M = 1
@@ -55,14 +115,26 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
 
 
 def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array:
+    if isinstance(w, dict) and "q4" in w:
+        *lead, K, N = w["q4"].shape
+        gc = w["gs"].shape[-2]
+        wf = w["q4"].astype(jnp.float32).reshape(*lead, gc, K // gc, N)
+        wf = wf * w["gs"][..., :, None, :]
+        return wf.reshape(*lead, K, N).astype(dtype)
     if isinstance(w, dict):
         return (w["q"].astype(jnp.float32) * w["s"][..., None, :]).astype(dtype)
     return w.astype(dtype)
 
 
 def concat_linears(ws, axis: int = -1):
-    """Concatenate plain or quantized ({"q","s"}) linears along the output
-    dim (per-output-channel scales concatenate 1:1)."""
+    """Concatenate plain or quantized ({"q","s"} / {"q4","gs"}) linears along
+    the output dim (per-output-channel / per-group scales concatenate 1:1;
+    int4 linears must share a group count)."""
+    if isinstance(ws[0], dict) and "q4" in ws[0]:
+        return {
+            "q4": jnp.concatenate([w["q4"] for w in ws], axis=axis),
+            "gs": jnp.concatenate([w["gs"] for w in ws], axis=axis),
+        }
     if isinstance(ws[0], dict):
         return {
             "q": jnp.concatenate([w["q"] for w in ws], axis=axis),
@@ -104,4 +176,21 @@ def quantize_params(params: Any) -> Any:
     out["layers"] = layers
     if "lm_head" in params:
         out["lm_head"] = quantize_linear(params["lm_head"])
+    return out
+
+
+def quantize_params_int4(params: Any, group_size: int = 128,
+                         lm_head_int8: bool = True) -> Any:
+    """int4 (group-wise) variant of quantize_params. The lm head defaults to
+    int8 per-channel: it is read once per step (not per layer), its vocab dim
+    dominates the logits quality, and int8 keeps the existing fast f32-accum
+    GEMV path."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
+        layers[name] = quantize_linear_int4(layers[name], group_size)
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"] = (quantize_linear(params["lm_head"]) if lm_head_int8
+                          else quantize_linear_int4(params["lm_head"], group_size))
     return out
