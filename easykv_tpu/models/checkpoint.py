@@ -52,7 +52,7 @@ def _sharded_abstract_params(
         node: Any = specs
         quant_key = None
         for k in keys:
-            if k in ("q", "s"):
+            if k in ("q", "s", "q4", "gs"):
                 quant_key = k
                 break
             node = node[k]
@@ -60,6 +60,7 @@ def _sharded_abstract_params(
         if quant_key == "s":
             # per-output-channel scales: weight spec minus the `in` dim
             return P(*(tuple(base)[:-2] + tuple(base)[-1:]))
+        # int4 group scales (.., in//G, out) keep the weight's spec layout
         return base
 
     def to_abstract(path, m):

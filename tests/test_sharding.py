@@ -210,3 +210,36 @@ def test_pallas_kernel_under_mesh_matches_xla(data, model):
         np.sort(np.asarray(ref_cache.pos), axis=-1),
         np.sort(np.asarray(pl_cache.pos), axis=-1),
     )
+
+
+def test_engine_generate_sharded_int4_matches_single_device():
+    """int4 (w4a16, group scales) variant of the sharded-quantized parity
+    test: {"q4","gs"} leaves shard per param_pspecs_tree (group scales keep
+    the weight's spec — in-dim sharding splits whole groups) and greedy
+    tokens match the unsharded run exactly."""
+    from easykv_tpu import CausalLM, flags, generate
+    from easykv_tpu.ops.quant import quantize_params_int4
+
+    data, model = 2, 4
+    mc, mesh, cfg, params = _setup(data, model)
+    qparams = quantize_params_int4(params, group_size=16)
+    model_q = CausalLM(cfg, qparams, dtype="float32")
+    ids = np.random.default_rng(3).integers(1, 60, size=(24,))
+    gc = {"budget": 10, "kv_policy": "roco", "max_new_tokens": 12,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    ref = generate(model_q, ids, gc, kv_mode="decoding")
+
+    sp = shard_params(qparams, cfg, mc, mesh)
+    wq = sp["layers"]["wq"]
+    assert wq["q4"].sharding.spec == P(None, None, "model")
+    assert wq["gs"].sharding.spec == P(None, None, "model")
+    # row-parallel wo: in-dim sharded, group scales follow (whole groups)
+    assert sp["layers"]["wo"]["q4"].sharding.spec == P(None, "model", None)
+    assert sp["layers"]["wo"]["gs"].sharding.spec == P(None, "model", None)
+    model_s = CausalLM(cfg, sp, dtype="float32")
+    flags.set_active_mesh(mesh, mc.axis_data, mc.axis_model)
+    try:
+        out = generate(model_s, ids, gc, kv_mode="decoding")
+    finally:
+        flags.set_active_mesh(None)
+    assert out == ref
