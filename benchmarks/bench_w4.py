@@ -3,13 +3,15 @@
 Runs the serialized decode GEMV chain at LLaMa2-7B shapes three ways in ONE
 process (interleaved, first timing discarded as compile):
   A. int8 per-channel (the current bench.py weight path) — baseline;
-  B. int4 + group-128 scales via the grouped-dot einsum (ops.quant._mm_int4);
-  C. int4 + per-channel scale via a flat astype()+dot (XLA convert-before-dot).
+  B. packed-int4 + group-128 scales via the grouped-dot einsum
+     (ops.quant._mm_int4: unpack nibbles, one grouped dot per half);
+  C. packed-int4 dequant-then-single-dot (materializes bf16 (K, N) in-graph
+     — measures what XLA's fusion does with the naive formulation).
 
-If XLA keeps s4 packed in HBM and fuses the widening convert into the dot,
-B/C should approach 2x A (the chain is weight-streaming-bound). If it
-materializes a widened copy, B/C collapse below A and a Pallas w4 GEMV
-kernel is required. Run on the TPU host: python benchmarks/bench_w4.py
+If XLA fuses the nibble unpack + widening convert into the dots, B should
+approach 2x A (the chain is weight-streaming-bound). If it materializes a
+widened copy, B/C collapse below A and the Pallas w4 GEMV kernel is
+required. Run on the TPU host: python benchmarks/bench_w4.py
 """
 import os
 import sys
@@ -24,7 +26,7 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/easykv_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-from easykv_tpu.ops.quant import _mm_int4
+from easykv_tpu.ops.quant import _mm_int4, dequantize
 
 L, D, F = 32, 4096, 11008
 HQ, HKV, DH = 32, 32, 128
@@ -46,13 +48,16 @@ def qlin8(shape, seed):
 
 
 def qlin4(shape, seed):
+    # packed nibbles host-side (two values/byte, halves packing)
     pat = (np.arange(65536, dtype=np.int32) * 29 % 15 - 7).astype(np.int8)
     n = int(np.prod(shape))
     q8 = np.tile(pat, n // pat.size + 2)[seed : n + seed].reshape(shape)
-    q4 = jax.device_put(q8).astype(jnp.int4)
+    Kh = shape[-2] // 2
+    lo, hi = q8[..., :Kh, :], q8[..., Kh:, :]
+    packed = ((lo & 0x0F) | (hi << 4)).astype(np.int8)
     gshape = shape[:-2] + (shape[-2] // GROUP, shape[-1])
     gs = jnp.full(gshape, (shape[-2] ** -0.5) / 7.0, jnp.float32)
-    return {"q4": q4, "gs": gs}
+    return {"q4p": jax.device_put(packed), "gs": gs}
 
 
 def mm8(x, w):
@@ -60,9 +65,8 @@ def mm8(x, w):
     return y * w["s"].astype(x.dtype)
 
 
-def mm4_flat(x, w):
-    y = jnp.matmul(x, w["q4"].astype(x.dtype))
-    return y * w["gs"][0].astype(x.dtype)  # per-channel stand-in
+def mm4_deq(x, w):
+    return jnp.matmul(x, dequantize(w, x.dtype))
 
 
 def make_chain(mm):
@@ -107,8 +111,8 @@ def main():
     x0 = jnp.ones((1, D), jnp.bfloat16)
     runs = [
         ("int8 per-channel", make_chain(mm8), ws8, bytes8),
-        ("int4 grouped-dot", make_chain(lambda x, w: _mm_int4(x, w["q4"], w["gs"])), ws4, bytes4),
-        ("int4 flat astype", make_chain(mm4_flat), ws4, bytes4),
+        ("int4 grouped-dot", make_chain(lambda x, w: _mm_int4(x, w["q4p"], w["gs"])), ws4, bytes4),
+        ("int4 dequant-dot", make_chain(mm4_deq), ws4, bytes4),
     ]
     # warm-up (compile) pass
     for name, fn, ws, _ in runs:

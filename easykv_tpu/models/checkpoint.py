@@ -52,7 +52,7 @@ def _sharded_abstract_params(
         node: Any = specs
         quant_key = None
         for k in keys:
-            if k in ("q", "s", "q4", "gs"):
+            if k in ("q", "s", "q4p", "gs"):
                 quant_key = k
                 break
             node = node[k]

@@ -9,16 +9,22 @@ epilogue.
 w4a16: group-wise symmetric scales (AWQ/GPTQ-style, default group 128
 along the contraction dim). Halves the weight bytes again — the decode
 loop is weight-streaming-bound, so the throughput ceiling scales with
-1/bytes. XLA stores s4 packed (2 values/byte) in HBM.
+1/bytes. Storage is two nibbles per int8 byte with HALVES packing:
+packed row r holds original rows r (low nibble) and r + K/2 (high
+nibble), so unpacking is two shift ops and no interleave, and the
+grouped matmul runs one grouped dot per half with no re-concat. We do
+NOT use jnp.int4 storage: int4 arrays cannot cross the jit argument
+boundary on the tunneled TPU plugin (device_put recursion), and packed
+int8 behaves identically byte-wise.
 
 Layouts (plain arrays pass through `mm` untouched, so model code is
 layout-agnostic):
-  int8: {"q":  int8 (.., in, out), "s":  f32 (.., out)}
-  int4: {"q4": int4 (.., in, out), "gs": f32 (.., in//G, out)}
+  int8: {"q":   int8 (.., in,    out), "s":  f32 (.., out)}
+  int4: {"q4p": int8 (.., in//2, out), "gs": f32 (.., in//G, out)}
 """
 from __future__ import annotations
 
-from typing import Any, Union
+from typing import Any, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -35,40 +41,67 @@ def quantize_linear(w: jax.Array, axis: int = -1) -> QuantLinear:
     return {"q": q, "s": scale.squeeze(-2).astype(jnp.float32)}
 
 
+def pack_int4(q: jax.Array) -> jax.Array:
+    """(.., K, N) int8 nibbles in [-8, 7] -> (.., K//2, N) packed int8 with
+    halves packing: packed row r = (row r) | (row r + K/2 << 4)."""
+    K = q.shape[-2]
+    lo, hi = q[..., : K // 2, :], q[..., K // 2 :, :]
+    return jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)), jnp.left_shift(hi, 4)
+    )
+
+
+def unpack_int4(q4p: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(.., K//2, N) packed int8 -> (lo, hi) int8 sign-extended nibbles;
+    lo = original rows [0, K/2), hi = rows [K/2, K)."""
+    hi = jnp.right_shift(q4p, 4)                       # arithmetic on int8
+    lo = jnp.right_shift(jnp.left_shift(q4p, 4), 4)    # wrap then sign-extend
+    return lo, hi
+
+
 def quantize_linear_int4(w: jax.Array, group_size: int = 128) -> QuantLinear:
     """Symmetric group-wise int4 quantization of (.., in, out).
 
     Scales are per (input-group, output-channel): the `in` dim is split into
     groups of `group_size` and each (group, column) gets its own scale —
     the standard w4 recipe (per-channel-only int4 loses too much). Values
-    are clipped to [-7, 7] (symmetric, -8 unused)."""
+    are clipped to [-7, 7] (symmetric, -8 unused). Requires (in/2) % group
+    == 0 so the halves packing splits on a group boundary."""
     *lead, K, N = w.shape
-    if K % group_size != 0:
-        raise ValueError(f"in dim {K} not divisible by group {group_size}")
+    if K % group_size != 0 or (K // 2) % group_size != 0:
+        raise ValueError(
+            f"in dim {K}: need K and K/2 divisible by group {group_size}"
+        )
     gc = K // group_size
     wf = w.astype(jnp.float32).reshape(*lead, gc, group_size, N)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)      # (.., gc, 1, N)
     scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int4)
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
     return {
-        "q4": q.reshape(*lead, K, N),
+        "q4p": pack_int4(q.reshape(*lead, K, N)),
         "gs": scale.squeeze(-2).astype(jnp.float32),          # (.., gc, N)
     }
 
 
-def _mm_int4(x: jax.Array, q4: jax.Array, gs: jax.Array) -> jax.Array:
-    """x (.., K) @ dequant(q4 (K, N), gs (gc, N)) without materializing the
-    bf16 weights: one grouped dot per scale group (batched matmul), scales
-    applied to the f32 group partials."""
-    K, N = q4.shape
+def _mm_int4(x: jax.Array, q4p: jax.Array, gs: jax.Array) -> jax.Array:
+    """x (.., K) @ dequant(q4p (K/2, N), gs (gc, N)) without materializing
+    the bf16 weights: unpack nibbles, one grouped dot per half (batched
+    matmul), scales applied to the f32 group partials."""
+    Kh, N = q4p.shape
     gc = gs.shape[0]
-    gk = K // gc
-    xg = x.reshape(x.shape[:-1] + (gc, gk))
-    wg = q4.reshape(gc, gk, N).astype(x.dtype)
-    y = jnp.einsum(
-        "...gk,gkn->...gn", xg, wg, preferred_element_type=jnp.float32
-    )
-    y = jnp.sum(y * gs, axis=-2)
+    gk = 2 * Kh // gc
+    gch = gc // 2
+    lo, hi = unpack_int4(q4p)
+
+    def half(xh, wh, sh):
+        xg = xh.reshape(x.shape[:-1] + (gch, gk))
+        wg = wh.reshape(gch, gk, N).astype(x.dtype)
+        y = jnp.einsum(
+            "...gk,gkn->...gn", xg, wg, preferred_element_type=jnp.float32
+        )
+        return jnp.sum(y * sh, axis=-2)
+
+    y = half(x[..., :Kh], lo, gs[:gch]) + half(x[..., Kh:], hi, gs[gch:])
     return y.astype(x.dtype)
 
 
@@ -83,10 +116,10 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
     XLA into the dot; see USE_PALLAS_MATMUL for the Pallas alternative)."""
     if not isinstance(w, dict):
         return x @ w
-    if "q4" in w:
+    if "q4p" in w:
         from .. import flags
 
-        if flags.w4_kernel_enabled() and w["q4"].ndim == 2:
+        if flags.w4_kernel_enabled() and w["q4p"].ndim == 2:
             lead = x.shape[:-1]
             M = 1
             for d in lead:
@@ -94,10 +127,10 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
             if M <= 8:
                 from .pallas.w4_matmul import w4a16_gemv
 
-                y2 = w4a16_gemv(x.reshape(M, x.shape[-1]), w["q4"], w["gs"],
+                y2 = w4a16_gemv(x.reshape(M, x.shape[-1]), w["q4p"], w["gs"],
                                 interpret=flags.pallas_interpret())
-                return y2.reshape(lead + (w["q4"].shape[-1],))
-        return _mm_int4(x, w["q4"], w["gs"])
+                return y2.reshape(lead + (w["q4p"].shape[-1],))
+        return _mm_int4(x, w["q4p"], w["gs"])
     if USE_PALLAS_MATMUL and w["q"].ndim == 2:
         lead = x.shape[:-1]
         M = 1
@@ -115,11 +148,13 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
 
 
 def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array:
-    if isinstance(w, dict) and "q4" in w:
-        *lead, K, N = w["q4"].shape
+    if isinstance(w, dict) and "q4p" in w:
+        *lead, Kh, N = w["q4p"].shape
+        K = 2 * Kh
         gc = w["gs"].shape[-2]
-        wf = w["q4"].astype(jnp.float32).reshape(*lead, gc, K // gc, N)
-        wf = wf * w["gs"][..., :, None, :]
+        lo, hi = unpack_int4(w["q4p"])
+        wf = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+        wf = wf.reshape(*lead, gc, K // gc, N) * w["gs"][..., :, None, :]
         return wf.reshape(*lead, K, N).astype(dtype)
     if isinstance(w, dict):
         return (w["q"].astype(jnp.float32) * w["s"][..., None, :]).astype(dtype)
@@ -127,12 +162,12 @@ def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array
 
 
 def concat_linears(ws, axis: int = -1):
-    """Concatenate plain or quantized ({"q","s"} / {"q4","gs"}) linears along
+    """Concatenate plain or quantized ({"q","s"} / {"q4p","gs"}) linears along
     the output dim (per-output-channel / per-group scales concatenate 1:1;
     int4 linears must share a group count)."""
-    if isinstance(ws[0], dict) and "q4" in ws[0]:
+    if isinstance(ws[0], dict) and "q4p" in ws[0]:
         return {
-            "q4": jnp.concatenate([w["q4"] for w in ws], axis=axis),
+            "q4p": jnp.concatenate([w["q4p"] for w in ws], axis=axis),
             "gs": jnp.concatenate([w["gs"] for w in ws], axis=axis),
         }
     if isinstance(ws[0], dict):
@@ -179,18 +214,32 @@ def quantize_params(params: Any) -> Any:
     return out
 
 
+def _fit_group(K: int, group_size: int) -> int:
+    """Largest group <= group_size that divides K/2 (so the halves packing
+    splits on a group boundary). Odd in-dims (e.g. FFN 1376 on small test
+    models) degrade gracefully to finer groups instead of failing."""
+    g = min(group_size, K // 2)
+    while g > 1 and ((K // 2) % g != 0 or K % g != 0):
+        g -= 1
+    return max(g, 1)
+
+
 def quantize_params_int4(params: Any, group_size: int = 128,
                          lm_head_int8: bool = True) -> Any:
     """int4 (group-wise) variant of quantize_params. The lm head defaults to
     int8 per-channel: it is read once per step (not per layer), its vocab dim
     dominates the logits quality, and int8 keeps the existing fast f32-accum
-    GEMV path."""
+    GEMV path. Per-weight group size adapts down when the in-dim is not
+    divisible by `group_size` (finer groups = strictly more accurate)."""
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
-        layers[name] = quantize_linear_int4(layers[name], group_size)
+        w = layers[name]
+        layers[name] = quantize_linear_int4(w, _fit_group(w.shape[-2], group_size))
     out["layers"] = layers
     if "lm_head" in params:
-        out["lm_head"] = (quantize_linear(params["lm_head"]) if lm_head_int8
-                          else quantize_linear_int4(params["lm_head"], group_size))
+        head = params["lm_head"]
+        out["lm_head"] = (quantize_linear(head) if lm_head_int8
+                          else quantize_linear_int4(
+                              head, _fit_group(head.shape[-2], group_size)))
     return out

@@ -40,12 +40,28 @@ def add_model_args(ap: argparse.ArgumentParser):
                     help="use a small random-weight model (no checkpoint needed)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--template", default="llama2", choices=sorted(TEMPLATES))
+    ap.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+                    help="weight quantization: int8 = w8a16 per-channel, "
+                    "int4 = w4a16 group-128 scales")
+
+
+def _maybe_quantize(params, args):
+    if getattr(args, "quant", "none") == "int8":
+        from easykv_tpu.ops.quant import quantize_params
+
+        return quantize_params(params)
+    if getattr(args, "quant", "none") == "int4":
+        from easykv_tpu.ops.quant import quantize_params_int4
+
+        return quantize_params_int4(params)
+    return params
 
 
 def build_model(args) -> CausalLM:
     dtype = jnp.dtype(args.dtype)
     if args.model:
         cfg, params = load_hf_checkpoint(args.model, dtype=dtype)
+        params = _maybe_quantize(params, args)
         tok = None
         try:
             from transformers import AutoTokenizer
@@ -60,6 +76,7 @@ def build_model(args) -> CausalLM:
         max_position_embeddings=4096,
     )
     params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
+    params = _maybe_quantize(params, args)
     return CausalLM(cfg, params, dtype=str(dtype))
 
 

@@ -104,16 +104,24 @@ def test_int4_quantize_roundtrip_error_bound():
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.normal(size=(256, 96)).astype(np.float32))
     q = quantize_linear_int4(w, group_size=64)
-    assert q["q4"].dtype == jnp.int4 and q["gs"].shape == (4, 96)
+    assert q["q4p"].dtype == jnp.int8 and q["q4p"].shape == (128, 96)
+    assert q["gs"].shape == (4, 96)
     deq = np.asarray(dequantize(q))
     # symmetric int4 with group scales: error <= scale/2 per element
     scales = np.repeat(np.asarray(q["gs"]), 64, axis=0)   # (256, 96)
     err = np.abs(deq - np.asarray(w))
     assert (err <= scales * 0.5 + 1e-6).all()
-    # group-wise int4 must beat per-channel int4 on relative error
-    qc = quantize_linear_int4(w, group_size=256)  # one group == per-channel
+    # finer groups must beat coarser groups on mean error
+    qc = quantize_linear_int4(w, group_size=128)  # coarsest allowed (K/2)
     err_pc = np.abs(np.asarray(dequantize(qc)) - np.asarray(w))
     assert err.mean() < err_pc.mean()
+    # pack/unpack is lossless
+    from easykv_tpu.ops.quant import pack_int4, unpack_int4
+
+    q8 = np.asarray(rng.integers(-7, 8, size=(64, 96)), np.int8)
+    lo, hi = unpack_int4(pack_int4(jnp.asarray(q8)))
+    np.testing.assert_array_equal(np.asarray(lo), q8[:32])
+    np.testing.assert_array_equal(np.asarray(hi), q8[32:])
 
 
 def test_int4_mm_matches_dequantized():
@@ -143,9 +151,9 @@ def test_int4_stacked_and_concat():
     wa = jnp.asarray(rng.normal(size=(2, 64, 32)).astype(np.float32))
     wb = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
     qa, qb = (quantize_linear_int4(w, 32) for w in (wa, wb))
-    assert qa["q4"].shape == (2, 64, 32) and qa["gs"].shape == (2, 2, 32)
+    assert qa["q4p"].shape == (2, 32, 32) and qa["gs"].shape == (2, 2, 32)
     cat = concat_linears([qa, qb])
-    assert cat["q4"].shape == (2, 64, 48) and cat["gs"].shape == (2, 2, 48)
+    assert cat["q4p"].shape == (2, 32, 48) and cat["gs"].shape == (2, 2, 48)
     np.testing.assert_allclose(
         np.asarray(dequantize(cat)),
         np.concatenate([np.asarray(dequantize(qa)),
@@ -173,7 +181,7 @@ def test_int4_model_close_to_fp32():
     # dequantized-tree twin: same numbers as qparams but plain fp32 arrays
     dparams = jax.tree.map(
         lambda x: x, qparams,
-        is_leaf=lambda x: isinstance(x, dict) and ("q4" in x or "q" in x),
+        is_leaf=lambda x: isinstance(x, dict) and ("q4p" in x or "q" in x),
     )
     dparams = {
         "embed": qparams["embed"],
@@ -216,3 +224,17 @@ def test_int4_model_close_to_fp32():
     # 4096-dim weights at g=128 land far tighter)
     cos = (lq * lf).sum() / (np.linalg.norm(lq) * np.linalg.norm(lf))
     assert cos > 0.9, f"int4 logits diverged from fp32 (cos={cos:.4f})"
+
+
+def test_pallas_w4_gemv_parity():
+    from easykv_tpu.ops.pallas.w4_matmul import w4a16_gemv
+    from easykv_tpu.ops.quant import quantize_linear_int4
+
+    rng = np.random.default_rng(11)
+    for K, N, G in [(256, 384, 64), (512, 300, 128), (256, 1024, 128)]:
+        x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        q = quantize_linear_int4(w, group_size=G)
+        ref = np.asarray(x @ dequantize(q))
+        got = np.asarray(w4a16_gemv(x, q["q4p"], q["gs"], interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)

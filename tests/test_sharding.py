@@ -214,7 +214,7 @@ def test_pallas_kernel_under_mesh_matches_xla(data, model):
 
 def test_engine_generate_sharded_int4_matches_single_device():
     """int4 (w4a16, group scales) variant of the sharded-quantized parity
-    test: {"q4","gs"} leaves shard per param_pspecs_tree (group scales keep
+    test: {"q4p","gs"} leaves shard per param_pspecs_tree (group scales keep
     the weight's spec — in-dim sharding splits whole groups) and greedy
     tokens match the unsharded run exactly."""
     from easykv_tpu import CausalLM, flags, generate
@@ -231,10 +231,10 @@ def test_engine_generate_sharded_int4_matches_single_device():
 
     sp = shard_params(qparams, cfg, mc, mesh)
     wq = sp["layers"]["wq"]
-    assert wq["q4"].sharding.spec == P(None, None, "model")
+    assert wq["q4p"].sharding.spec == P(None, None, "model")
     assert wq["gs"].sharding.spec == P(None, None, "model")
     # row-parallel wo: in-dim sharded, group scales follow (whole groups)
-    assert sp["layers"]["wo"]["q4"].sharding.spec == P(None, "model", None)
+    assert sp["layers"]["wo"]["q4p"].sharding.spec == P(None, "model", None)
     assert sp["layers"]["wo"]["gs"].sharding.spec == P(None, "model", None)
     model_s = CausalLM(cfg, sp, dtype="float32")
     flags.set_active_mesh(mesh, mc.axis_data, mc.axis_model)
