@@ -65,6 +65,44 @@ def fake_int8_params(cfg):
     }
 
 
+def fake_int4_params(cfg, group=128):
+    """Deterministic packed-int4 weights (halves packing, group-128 scales),
+    built host-side like fake_int8_params. The lm head stays int8 (the
+    production quantize_params_int4 default)."""
+    L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    V = cfg.vocab_size
+    pat = (np.arange(65536, dtype=np.int32) * 37 % 15 - 7).astype(np.int8)
+
+    def qlin4(shape, seed):
+        K = shape[-2]
+        n = int(np.prod(shape))
+        q8 = np.tile(pat, n // pat.size + 2)[seed : n + seed].reshape(shape)
+        lo, hi = q8[..., : K // 2, :], q8[..., K // 2 :, :]
+        packed = ((lo & 0x0F) | (hi << 4)).astype(np.int8)
+        gshape = shape[:-2] + (K // group, shape[-1])
+        gs = jnp.full(gshape, (K ** -0.5) / 7.0, jnp.float32)
+        return {"q4p": jax.device_put(packed), "gs": gs}
+
+    base = fake_int8_params(cfg)
+    return {
+        "embed": base["embed"],
+        "final_norm": base["final_norm"],
+        "lm_head": base["lm_head"],
+        "layers": {
+            "wq": qlin4((L, D, Hq * Dh), 5),
+            "wk": qlin4((L, D, Hkv * Dh), 7),
+            "wv": qlin4((L, D, Hkv * Dh), 11),
+            "wo": qlin4((L, Hq * Dh, D), 13),
+            "wg": qlin4((L, D, F), 17),
+            "wu": qlin4((L, D, F), 19),
+            "wd": qlin4((L, F, D), 23),
+            "ln_attn": base["layers"]["ln_attn"],
+            "ln_mlp": base["layers"]["ln_mlp"],
+        },
+    }
+
+
 def main():
     from easykv_tpu import CausalLM, ModelConfig, generate
     from easykv_tpu.models import llama
@@ -80,11 +118,12 @@ def main():
             max_position_embeddings=4096,
         )
         prompt_len, gen_tokens, budget = 512, 384, 200
-        name = "llama2_7b_int8w_int8kv"
-        t0 = time.time()
-        params = fake_int8_params(cfg)
         import os
 
+        w4 = os.environ.get("EASYKV_BENCH_WEIGHTS", "int8") == "int4"
+        name = ("llama2_7b_int4w_int8kv" if w4 else "llama2_7b_int8w_int8kv")
+        t0 = time.time()
+        params = fake_int4_params(cfg) if w4 else fake_int8_params(cfg)
         if os.environ.get("EASYKV_BENCH_FUSED", "1") != "0":
             # fused wqkv/wgu single-GEMV layout: 4 weight streams per layer
             # instead of 7 (bit-exact; test_quant.py::test_fused_gemv_params)
@@ -92,7 +131,7 @@ def main():
 
             params = fuse_gemv_params(params)
         jax.block_until_ready(params)
-        log(f"7B int8 params built in {time.time()-t0:.1f}s")
+        log(f"7B {'int4' if w4 else 'int8'} params built in {time.time()-t0:.1f}s")
         # int8 weights + int8 compressed-KV: the production configuration —
         # measured FASTER than bf16 KV at 7B (70.6 vs 63.8 tok/s; the Pallas
         # decode kernel streams KV at half the bytes)
