@@ -50,6 +50,7 @@ from ..policies import (
     PolicySpec,
     evict_cache,
 )
+from ..ops.quant import materialize_params
 from ..sampling import logits_adapter, sample_token, sample_topp
 
 PREFILL_CHUNK = 128
@@ -528,6 +529,7 @@ def _engine_cache(st: EngineStatics, B: int, S: int) -> KVCache:
 @functools.partial(jax.jit, static_argnums=(0,))
 def _run_decoding(st: EngineStatics, params, ids_pad, prompt_len, temperature, top_p, seed):
     """kv_mode='decoding' (reference easykv.py:228-366)."""
+    params = materialize_params(params)
     B = ids_pad.shape[0]
     gen_slots = st.max_new_tokens if st.policy == "full" else st.budget + 1
     S = st.length + gen_slots
@@ -546,6 +548,7 @@ def _run_decoding(st: EngineStatics, params, ids_pad, prompt_len, temperature, t
 def _run_encoding(st: EngineStatics, params, input_ids, temperature, top_p, seed):
     """kv_mode='encoding' (reference easykv.py:367-529): strided prefill
     eviction, then plain decode without eviction."""
+    params = materialize_params(params)
     B = input_ids.shape[0]
     S = st.idx + st.stride + st.max_new_tokens
     cache = _engine_cache(st, B, S)
@@ -571,6 +574,7 @@ def _run_encoding(st: EngineStatics, params, input_ids, temperature, top_p, seed
 def _run_encdec(st: EngineStatics, params, input_ids, temperature, top_p, seed):
     """kv_mode='encoding_decoding' (reference easykv.py:530-753): strided
     prefill eviction, then per-step eviction through decode."""
+    params = materialize_params(params)
     B = input_ids.shape[0]
     S = st.idx + st.stride
     cache = _engine_cache(st, B, S)
@@ -595,6 +599,7 @@ def _run_encdec(st: EngineStatics, params, input_ids, temperature, top_p, seed):
 @functools.partial(jax.jit, static_argnums=(0,))
 def _run_ppl(st: EngineStatics, params, input_ids, seed):
     """kv_mode='ppl', budgeted path (reference easykv.py:766-901)."""
+    params = materialize_params(params)
     B = input_ids.shape[0]
     S = st.idx + st.stride
     cache = _engine_cache(st, B, S)
@@ -615,6 +620,7 @@ def _run_ppl(st: EngineStatics, params, input_ids, seed):
 def _run_ppl_full(st: EngineStatics, params, input_ids):
     """kv_mode='ppl', full-cache path (reference easykv.py:759-765):
     chunked teacher forcing over the whole document."""
+    params = materialize_params(params)
     B, L = input_ids.shape
     PC = min(PREFILL_CHUNK, _round_up(L, 8))
     L_pad = _round_up(L, PC)

@@ -596,10 +596,10 @@ def _lm_head(h: jax.Array, head) -> jax.Array:
     the bf16-out dot for the decode GEMV (0.49 vs 0.55 ms at D=2048 V=32000
     in-graph) and numerically tighter. A Pallas VPU GEMV was A/B'd and did
     not beat XLA here (RESULTS.md)."""
-    if isinstance(head, dict) and "q4p" in head:
-        from ..ops.quant import _mm_int4
+    if isinstance(head, dict) and ("q4p" in head or "w4" in head):
+        from ..ops.quant import mm
 
-        return _mm_int4(h, head["q4p"], head["gs"]).astype(jnp.float32)
+        return mm(h, head).astype(jnp.float32)
     if isinstance(head, dict):
         y = jnp.matmul(h, head["q"].astype(h.dtype),
                        preferred_element_type=jnp.float32)

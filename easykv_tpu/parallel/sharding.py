@@ -73,12 +73,13 @@ def param_pspecs_tree(params, cfg: ModelConfig, mc: MeshConfig):
     (lm_head, biases) are pruned."""
 
     def expand(spec: P, leaf):
-        if isinstance(leaf, dict) and "q4p" in leaf:
+        if isinstance(leaf, dict) and ("q4p" in leaf or "w4" in leaf):
+            key = "q4p" if "q4p" in leaf else "w4"
             # packed nibbles (.., in//2, out) and group scales (.., in//G,
             # out) keep the weight's spec layout — an in-dim ("row-parallel")
             # sharding splits whole halves/groups as long as the local
             # in-shard is a multiple of 2x the group size.
-            return {"q4p": spec, "gs": spec}
+            return {key: spec, "gs": spec}
         if isinstance(leaf, dict):
             return {"q": spec, "s": P(*(tuple(spec)[:-2] + tuple(spec)[-1:]))}
         return spec

@@ -181,6 +181,12 @@ class ContinuousBatchEngine:
         seed: int = 0,
     ):
         self.model = model
+        # int4 params: convert packed nibbles to device-resident s4 once
+        # (per-tick jits then stream XLA's packed s4 layout); no-op for
+        # int8/fp trees or backends that cannot hold s4 across jit calls.
+        from ..ops.quant import materialize_params_resident
+
+        self.model.params = materialize_params_resident(model.params)
         self.cfg: ModelConfig = model.cfg
         self.B = batch_slots
         self.max_prompt = max_prompt

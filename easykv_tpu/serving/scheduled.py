@@ -48,6 +48,9 @@ class ScheduledBatchEngine:
         mesh_config=None,
     ):
         self.model = model
+        from ..ops.quant import materialize_params_resident
+
+        self.model.params = materialize_params_resident(model.params)
         self.cfg: ModelConfig = model.cfg
         self.B = batch_slots
         self.max_prompt = max_prompt

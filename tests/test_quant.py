@@ -238,3 +238,34 @@ def test_pallas_w4_gemv_parity():
         ref = np.asarray(x @ dequantize(q))
         got = np.asarray(w4a16_gemv(x, q["q4p"], q["gs"], interpret=True))
         np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_int4_engine_ppl_matches_dequantized_tree():
+    """Full engine (budgeted ppl, strided eviction) with an int4 tree vs the
+    SAME numbers as a plain fp32 (dequantized) tree: the s4 materialization
+    + masked-replication/grouped dots must agree with the dense matmul to
+    float tolerance, end to end."""
+    from easykv_tpu.ops.quant import dequantize as deq
+    from easykv_tpu.ops.quant import quantize_params_int4
+
+    cfg = ModelConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(1))
+    qparams = quantize_params_int4(params, group_size=32)
+    dparams = {
+        "embed": qparams["embed"],
+        "final_norm": qparams["final_norm"],
+        "lm_head": deq(qparams["lm_head"]),
+        "layers": {
+            k: (deq(v) if isinstance(v, dict) else v)
+            for k, v in qparams["layers"].items()
+        },
+    }
+    ids = np.random.default_rng(5).integers(1, 90, size=(120,))
+    gc = {"budget": 0.5, "kv_policy": "roco", "eos_token_ids": []}
+    ppl_q = generate(CausalLM(cfg, qparams), ids, gc, kv_mode="ppl", stride=8)
+    ppl_d = generate(CausalLM(cfg, dparams), ids, gc, kv_mode="ppl", stride=8)
+    assert abs(ppl_q - ppl_d) / ppl_d < 2e-3, (ppl_q, ppl_d)
