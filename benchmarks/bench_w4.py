@@ -1,23 +1,28 @@
-"""w4a16 A/B microbench (TPU): does XLA stream PACKED int4 weights?
+"""w4a16 A/B microbench (TPU): which int4 weight path wins the decode GEMV?
 
-Runs the serialized decode GEMV chain at LLaMa2-7B shapes three ways in ONE
-process (interleaved, first timing discarded as compile):
-  A. int8 per-channel (the current bench.py weight path) — baseline;
-  B. packed-int4 + group-128 scales via the grouped-dot einsum
-     (ops.quant._mm_int4: unpack nibbles, one grouped dot per half);
-  C. packed-int4 dequant-then-single-dot (materializes bf16 (K, N) in-graph
-     — measures what XLA's fusion does with the naive formulation).
+Runs the serialized decode GEMV chain at LLaMa2-7B shapes in ONE process
+(interleaved reps, warm-up discarded), weights built ON DEVICE (uploading
+multi-GB tensors through the tunneled TPU takes tens of minutes):
 
-If XLA fuses the nibble unpack + widening convert into the dots, B should
-approach 2x A (the chain is weight-streaming-bound). If it materializes a
-widened copy, B/C collapse below A and the Pallas w4 GEMV kernel is
-required. Run on the TPU host: python benchmarks/bench_w4.py
+  A. int8 per-channel (the r1/r2 int8 headline weight path) — baseline;
+  B. s4-in-jit, per-channel scale, plain M=1 dot;
+  C. s4-in-jit, group-128 scales via the masked-replication (gc, K) dot —
+     the PRODUCTION path (ops.quant._mm_w4 after materialize_params).
+
+Measured 2026-08-17 on 1x v5e (384-step scan, np.asarray readback):
+  A 9.22 ms/step (703 GB/s) | B 7.51 (431) | C 5.91 (548)
+Rejected variants (see RESULTS.md): grouped einsum over packed int8
+(37 GB/s — 32 tiny dots), Pallas VPU unpack GEMV (172 GB/s — nibble
+unpack is elementwise-bound), Pallas kernel on an s4 ref (301-330 GB/s —
+Mosaic compiles s4 VMEM refs but streams them slower than XLA's own dot).
+
+s4 arrays cannot cross the jit argument boundary on the tunneled TPU
+plugin, hence storage stays packed int8 and the s4 conversion happens once
+inside the jitted runner (ops.quant.materialize_params).
 """
-import os
+import functools
 import sys
 import time
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -26,50 +31,50 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/easykv_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-from easykv_tpu.ops.quant import _mm_int4, dequantize
-
 L, D, F = 32, 4096, 11008
 HQ, HKV, DH = 32, 32, 128
-STEPS = 384
-GROUP = 128
+STEPS, G = 384, 128
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def qlin8(shape, seed):
-    pat = (np.arange(65536, dtype=np.int32) * 29 % 255 - 127).astype(np.int8)
+@functools.partial(jax.jit, static_argnums=(1,))
+def _dev_q(seed, shape):
     n = int(np.prod(shape))
-    q = np.tile(pat, n // pat.size + 2)[seed : n + seed].reshape(shape)
-    s = jnp.full(shape[:-2] + (shape[-1],), (shape[-2] ** -0.5) / 127.0,
-                 jnp.float32)
-    return {"q": jax.device_put(q), "s": s}
+    v = (jax.lax.iota(jnp.int32, n) * 29 + seed) % 15 - 7
+    return v.astype(jnp.int8).reshape(shape)
 
 
-def qlin4(shape, seed):
-    # packed nibbles host-side (two values/byte, halves packing)
-    pat = (np.arange(65536, dtype=np.int32) * 29 % 15 - 7).astype(np.int8)
-    n = int(np.prod(shape))
-    q8 = np.tile(pat, n // pat.size + 2)[seed : n + seed].reshape(shape)
-    Kh = shape[-2] // 2
-    lo, hi = q8[..., :Kh, :], q8[..., Kh:, :]
-    packed = ((lo & 0x0F) | (hi << 4)).astype(np.int8)
-    gshape = shape[:-2] + (shape[-2] // GROUP, shape[-1])
-    gs = jnp.full(gshape, (shape[-2] ** -0.5) / 7.0, jnp.float32)
-    return {"q4p": jax.device_put(packed), "gs": gs}
+def qlin(shape, seed):
+    gs = jnp.full(shape[:-2] + (shape[-2] // G, shape[-1]),
+                  (shape[-2] ** -0.5) / 7.0, jnp.float32)
+    return {"q": _dev_q(seed, tuple(shape)), "gs": gs}
 
 
-def mm8(x, w):
+def mm8(x, w):  # per-channel epilogue on the int8 values
     y = jnp.matmul(x, w["q"].astype(x.dtype))
-    return y * w["s"].astype(x.dtype)
+    return y * w["gs"][0].astype(x.dtype)
 
 
-def mm4_deq(x, w):
-    return jnp.matmul(x, dequantize(w, x.dtype))
+def mm4_m1(x, w):  # s4 plain dot, per-channel stand-in scale
+    y = jnp.matmul(x, w["q"].astype(x.dtype))
+    return y * w["gs"][0].astype(x.dtype)
 
 
-def make_chain(mm):
+def mm4_masked(x, w):  # production path: masked-replication grouped dot
+    w4, gs = w["q"], w["gs"]
+    K, N = w4.shape
+    gc = gs.shape[0]
+    gmask = (jax.lax.broadcasted_iota(jnp.int32, (gc, K), 1) // (K // gc)
+             == jax.lax.broadcasted_iota(jnp.int32, (gc, K), 0))
+    xp = jnp.where(gmask, x.reshape(1, K), 0)
+    Y = jnp.matmul(xp, w4.astype(x.dtype), preferred_element_type=jnp.float32)
+    return jnp.sum(Y * gs, axis=0, keepdims=True).astype(x.dtype)
+
+
+def make_run(mm, to_s4):
     def chain(x, ws):
         def layer(h, p):
             y = mm(h, p["wqkv"])
@@ -82,6 +87,10 @@ def make_chain(mm):
 
     @jax.jit
     def run(x, ws):
+        if to_s4:
+            ws = jax.tree.map(
+                lambda w: {"q": w["q"].astype(jnp.int4), "gs": w["gs"]},
+                ws, is_leaf=lambda t: isinstance(t, dict) and "q" in t)
         x, _ = jax.lax.scan(lambda x, _: (chain(x, ws), ()), x, None,
                             length=STEPS)
         return x
@@ -89,45 +98,35 @@ def make_chain(mm):
     return run
 
 
-def build(q):
-    return {
-        "wqkv": q((L, D, (HQ + 2 * HKV) * DH), 5),
-        "wo": q((L, HQ * DH, D), 13),
-        "wgu": q((L, D, 2 * F), 17),
-        "wd": q((L, F, D), 23),
-    }
-
-
 def main():
     assert jax.default_backend() == "tpu", "run on the TPU host"
     t0 = time.time()
-    ws8 = build(qlin8)
-    ws4 = build(qlin4)
-    log(f"params built in {time.time()-t0:.1f}s")
-    per_layer = D * (HQ + 2 * HKV) * DH + HQ * DH * D + D * 2 * F + F * D
-    bytes8 = per_layer * L
-    bytes4 = bytes8 // 2
+    ws = {"wqkv": qlin((L, D, (HQ + 2 * HKV) * DH), 5),
+          "wo": qlin((L, HQ * DH, D), 13),
+          "wgu": qlin((L, D, 2 * F), 17),
+          "wd": qlin((L, F, D), 23)}
+    jax.block_until_ready(ws)
+    log(f"params built {time.time()-t0:.1f}s")
+    bytes8 = (D * (HQ + 2 * HKV) * DH + HQ * DH * D + D * 2 * F + F * D) * L
 
     x0 = jnp.ones((1, D), jnp.bfloat16)
     runs = [
-        ("int8 per-channel", make_chain(mm8), ws8, bytes8),
-        ("int4 grouped-dot", make_chain(lambda x, w: _mm_int4(x, w["q4p"], w["gs"])), ws4, bytes4),
-        ("int4 dequant-dot", make_chain(mm4_deq), ws4, bytes4),
+        ("int8 per-channel", make_run(mm8, False), bytes8),
+        ("s4 per-channel M=1", make_run(mm4_m1, True), bytes8 // 2),
+        ("s4 group-128 masked", make_run(mm4_masked, True), bytes8 // 2),
     ]
-    # warm-up (compile) pass
-    for name, fn, ws, _ in runs:
+    for name, fn, _ in runs:
         t0 = time.time(); np.asarray(fn(x0, ws))
         log(f"{name}: warm-up {time.time()-t0:.1f}s")
-    # interleaved timed reps; np.asarray readback (tunnel-safe)
-    times = {name: [] for name, *_ in runs}
+    times = {n: [] for n, _, _ in runs}
     for rep in range(3):
-        for name, fn, ws, _ in runs:
+        for name, fn, _ in runs:
             t0 = time.time(); np.asarray(fn(x0, ws))
             times[name].append((time.time() - t0) / STEPS)
-    for name, fn, ws, nbytes in runs:
+    for name, fn, nbytes in runs:
         dt = float(np.median(times[name]))
-        log(f"{name}: {dt*1e3:.3f} ms/step -> {nbytes/dt/1e9:.0f} GB/s "
-            f"effective ({1/dt:.1f} steps/s)  reps={[f'{t*1e3:.3f}' for t in times[name]]}")
+        log(f"{name}: {dt*1e3:.3f} ms/step -> {nbytes/dt/1e9:.0f} GB/s eff "
+            f"({1/dt:.1f} steps/s) reps={[f'{t*1e3:.2f}' for t in times[name]]}")
 
 
 if __name__ == "__main__":
