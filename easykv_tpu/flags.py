@@ -81,6 +81,29 @@ def sidecar_enabled() -> bool:
     return pallas_enabled()
 
 
+_CHUNK_KERNEL_OVERRIDE: Optional[bool] = None
+
+
+def use_chunk_kernel(enabled: Optional[bool]) -> None:
+    """Force the fused chunk-attention kernel (strided-encode path) on/off
+    (None = env EASYKV_TPU_CHUNK_KERNEL, default off — the 2-pass flash
+    variant measured slower than XLA; the 1-pass variant's A/B lives in
+    RESULTS.md)."""
+    global _CHUNK_KERNEL_OVERRIDE
+    _CHUNK_KERNEL_OVERRIDE = enabled
+
+
+def chunk_kernel_enabled() -> bool:
+    import os
+
+    if _CHUNK_KERNEL_OVERRIDE is not None:
+        return _CHUNK_KERNEL_OVERRIDE and pallas_enabled()
+    env = os.environ.get("EASYKV_TPU_CHUNK_KERNEL")
+    if env is not None:
+        return env not in ("0", "false", "off") and pallas_enabled()
+    return False
+
+
 _W4_KERNEL_OVERRIDE: Optional[bool] = None
 
 

@@ -42,11 +42,12 @@ from .. import flags  # noqa: E402
 from ..flags import pallas_enabled as _pallas_enabled  # noqa: E402
 from ..flags import use_pallas  # noqa: E402,F401
 
-# Fused chunk kernel measured SLOWER than XLA's fused softmax+reduce encode
-# path on v5e (1.1B: 8990 vs 9578; 7B: 1915 vs 2360 prefill tok/s) — the
-# 2-pass QK recompute and sub-128-row MXU tiles cost more than the probs
-# HBM round-trip saves. Kept opt-in for larger-S regimes.
-_CHUNK_KERNEL = False
+# Fused chunk kernel: the original 2-pass flash variant measured SLOWER
+# than XLA's fused softmax+reduce encode path on v5e (1.1B: 8990 vs 9578;
+# 7B: 1915 vs 2360 prefill tok/s). A 1-pass whole-logits-in-VMEM variant
+# (ops/pallas/chunk_attention._onepass_kernel) avoids the QK recompute and
+# the probs HBM round-trip; toggle via flags.use_chunk_kernel /
+# EASYKV_TPU_CHUNK_KERNEL for A/B (RESULTS.md).
 
 
 class StepCtx(NamedTuple):
@@ -211,8 +212,8 @@ def forward(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
             )
-        elif (cfg.sliding_window is None and _pallas_enabled()
-              and _CHUNK_KERNEL and not cl.quantized):
+        elif (cfg.sliding_window is None and not cl.quantized
+              and flags.chunk_kernel_enabled()):
             # Fused chunk path (strided encoding / prefill): flash attention
             # + on-chip score reduction (ops/pallas/chunk_attention.py).
             from ..ops.pallas.chunk_attention import fused_chunk_attend

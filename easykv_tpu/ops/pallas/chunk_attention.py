@@ -104,6 +104,52 @@ def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, m_ref, l_ref,
     last_ref[0, 0] = p_kv[C - 1 :, :]          # last chunk row
 
 
+def _onepass_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
+                    out_ref, ssum_ref, ssq_ref, last_ref,
+                    *, scale, rep, C, need_scores):
+    """Single-pass chunk attention: the whole (rep*C, S) logits block lives
+    in VMEM, so there is no online-softmax rescale, no second QK pass, and
+    no m/l HBM round trip. Valid while the block fits VMEM (gated by the
+    wrapper); the 2-pass flash variant covers larger S."""
+    q = q_ref[0, 0].astype(jnp.float32)        # (rep*C, D)
+    k = k_ref[0, 0].astype(jnp.float32)        # (S, D)
+    pos = pos_ref[0, 0]                        # (1, S)
+    qp = _row_qpos(qpos_ref, rep, C)           # (rep*C, 1)
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                                  # (rep*C, S)
+    mask = (pos >= 0) & (pos <= qp)
+    logits = jnp.where(mask, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(logits - m), 0.0)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+
+    out = jax.lax.dot_general(
+        p, v_ref[0, 0].astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                          # (rep*C, D)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    if need_scores:
+        S = p.shape[-1]
+        p_kv = jnp.mean(p.reshape(rep, C, S), axis=0)       # (C, S) GQA mean
+        ssum_ref[0, 0] = jnp.sum(p_kv, axis=0, keepdims=True)
+        ssq_ref[0, 0] = jnp.sum(p_kv * p_kv, axis=0, keepdims=True)
+        last_ref[0, 0] = p_kv[C - 1 :, :]
+
+
+# VMEM budget for the 1-pass kernel: K+V (bf16/f32) + logits & probs f32.
+_ONEPASS_VMEM_CAP = 10 * 1024 * 1024
+
+
+def _onepass_fits(rows: int, S_pad: int, D: int, kv_bytes: int) -> bool:
+    kv = 2 * S_pad * D * kv_bytes
+    work = 2 * rows * S_pad * 4 + 2 * rows * D * 4
+    return kv + work <= _ONEPASS_VMEM_CAP
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
 def fused_chunk_attend(
     q: jax.Array,        # (B, Hq, C, D)
@@ -140,6 +186,37 @@ def fused_chunk_attend(
 
     def spec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    if _onepass_fits(rep * C, S_pad, D, k.dtype.itemsize):
+        out, ssum, ssq, last = pl.pallas_call(
+            functools.partial(_onepass_kernel, scale=scale, rep=rep, C=C,
+                              need_scores=need_scores),
+            grid=(B, Hkv),
+            in_specs=[
+                spec((1, 1, rep * C, D), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, S_pad, D), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, S_pad, D), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, 1, rep * C), lambda b, h: (b, 0, 0, 0)),
+            ],
+            out_specs=[
+                spec((1, 1, rep * C, D), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0)),
+                spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, Hkv, rep * C, D), q.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qg, k, v, pos4, qpos4)
+        out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
+        if not need_scores:
+            return out, None, None, None
+        return out, ssum[:, :, 0, :S], ssq[:, :, 0, :S], last[:, :, 0, :S]
 
     # pass 1: flash attention + stats
     out, m, l = pl.pallas_call(

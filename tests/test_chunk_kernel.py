@@ -68,3 +68,28 @@ def test_padding_queries_zero():
         np.asarray(ssum), np.asarray(jnp.sum(ref_probs, axis=2)),
         atol=1e-5, rtol=1e-4,
     )
+
+
+def test_onepass_matches_twopass_flash(monkeypatch):
+    """The 1-pass (whole-logits-in-VMEM) and 2-pass flash variants must
+    agree bit-tightly; force the 2-pass by shrinking the VMEM cap."""
+    import easykv_tpu.ops.pallas.chunk_attention as ca
+
+    B, Hkv, rep, C, S, D = 1, 2, 2, 16, 600, 128
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, Hkv * rep, C, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    pos = rng.integers(0, 500, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::5] = -1
+    q_pos = jnp.broadcast_to(
+        500 + jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)
+    )
+    one = fused_chunk_attend(q, k, v, jnp.asarray(pos), q_pos, interpret=True)
+    monkeypatch.setattr(ca, "_ONEPASS_VMEM_CAP", 0)
+    two = ca.fused_chunk_attend.__wrapped__(  # bypass jit cache (static flag)
+        q, k, v, jnp.asarray(pos), q_pos, interpret=True, need_scores=True
+    )
+    for a, b in zip(one, two):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
