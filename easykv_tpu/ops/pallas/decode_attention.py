@@ -67,55 +67,60 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
 
 
 def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
-                     *rest, scale, quant):
+                     *rest, scale, quant, hb):
     """_kernel plus an in-flight (not yet cached) token: its logit joins the
     softmax and its value joins the output; emits the GQA-mean probability of
-    both the cached slots and the in-flight token (late-write decode path)."""
+    both the cached slots and the in-flight token (late-write decode path).
+
+    `hb` KV heads per program (unrolled): fewer program dispatches and
+    larger contiguous DMA blocks than one-head-per-program."""
     if quant:
         ksc_ref, vsc_ref, out_ref, probs_ref, pnew_ref = rest
     else:
         out_ref, probs_ref, pnew_ref = rest
     b = pl.program_id(0)
-    q = q_ref[0, 0].astype(jnp.float32)          # (rep, D)
-    kn = kn_ref[0, 0].astype(jnp.float32)        # (1, D)
-    vn = vn_ref[0, 0].astype(jnp.float32)        # (1, D)
-    k = k_ref[0, 0].astype(jnp.float32)          # (S, D)
-    v = v_ref[0, 0]                              # (S, D)
-    pos = pos_ref[0, 0]                          # (1, S)
     q_pos = qpos_ref[b]
-
-    logits = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                     # (rep, S)
-    if quant:
-        logits = logits * ksc_ref[0, 0]
-    logit_new = jax.lax.dot_general(
-        q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale                                     # (rep, 1)
-    mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
     live = q_pos >= 0
-    logits = jnp.where(mask, logits, NEG_INF)
-    logit_new = jnp.where(live, logit_new, NEG_INF)
-    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), logit_new)
-    e = jnp.where(mask, jnp.exp(logits - m), 0.0)
-    e_new = jnp.where(live, jnp.exp(logit_new - m), 0.0)
-    denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
-    p = e / denom                                 # (rep, S)
-    p_new = e_new / denom                         # (rep, 1)
 
-    pv = p * vsc_ref[0, 0] if quant else p
-    out = jax.lax.dot_general(
-        pv, v.astype(jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + p_new * vn                                # (rep, D)
-    out_ref[0, 0] = out.astype(out_ref.dtype)
-    probs_ref[0, 0] = jnp.mean(p, axis=0, keepdims=True)       # (1, S)
-    pnew_ref[0, 0] = jnp.broadcast_to(
-        jnp.mean(p_new, axis=0, keepdims=True), pnew_ref.shape[2:]
-    )
+    for i in range(hb):
+        q = q_ref[0, i].astype(jnp.float32)          # (rep, D)
+        kn = kn_ref[0, i].astype(jnp.float32)        # (1, D)
+        vn = vn_ref[0, i].astype(jnp.float32)        # (1, D)
+        k = k_ref[0, i].astype(jnp.float32)          # (S, D)
+        v = v_ref[0, i]                              # (S, D)
+        pos = pos_ref[0, i]                          # (1, S)
+
+        logits = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # (rep, S)
+        if quant:
+            logits = logits * ksc_ref[0, i]
+        logit_new = jax.lax.dot_general(
+            q, kn, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # (rep, 1)
+        mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
+        logits = jnp.where(mask, logits, NEG_INF)
+        logit_new = jnp.where(live, logit_new, NEG_INF)
+        m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), logit_new)
+        e = jnp.where(mask, jnp.exp(logits - m), 0.0)
+        e_new = jnp.where(live, jnp.exp(logit_new - m), 0.0)
+        denom = jnp.maximum(jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
+        p = e / denom                                 # (rep, S)
+        p_new = e_new / denom                         # (rep, 1)
+
+        pv = p * vsc_ref[0, i] if quant else p
+        out = jax.lax.dot_general(
+            pv, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + p_new * vn                                # (rep, D)
+        out_ref[0, i] = out.astype(out_ref.dtype)
+        probs_ref[0, i] = jnp.mean(p, axis=0, keepdims=True)   # (1, S)
+        pnew_ref[0, i] = jnp.broadcast_to(
+            jnp.mean(p_new, axis=0, keepdims=True), pnew_ref.shape[2:]
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -156,32 +161,42 @@ def fused_decode_attend_inflight(
     qg = q.reshape(B, Hkv, rep, D)
     pos4 = kv_pos[:, :, None, :]
 
+    # Multi-head-per-program blocking: fewer program dispatches + larger
+    # contiguous DMAs, capped so the per-program KV block stays well under
+    # VMEM (hb * S * D * 2 bytes for K+V).
+    hb = 1
+    for cand in (8, 4, 2):
+        if Hkv % cand == 0 and cand * S_pad * D * 2 * k.dtype.itemsize \
+                <= 4 * 1024 * 1024:
+            hb = cand
+            break
+
     def spec4(shape):
         return pl.BlockSpec(shape, lambda b, h, qp: (b, h, 0, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        spec4((1, 1, rep, D)),
-        spec4((1, 1, 1, D)),
-        spec4((1, 1, 1, D)),
-        spec4((1, 1, S_pad, D)),
-        spec4((1, 1, S_pad, D)),
-        spec4((1, 1, 1, S_pad)),
+        spec4((1, hb, rep, D)),
+        spec4((1, hb, 1, D)),
+        spec4((1, hb, 1, D)),
+        spec4((1, hb, S_pad, D)),
+        spec4((1, hb, S_pad, D)),
+        spec4((1, hb, 1, S_pad)),
     ]
     inputs = [qg, k_new, v_new, k, v, pos4]
     if quant:
-        in_specs += [spec4((1, 1, 1, S_pad)), spec4((1, 1, 1, S_pad))]
+        in_specs += [spec4((1, hb, 1, S_pad)), spec4((1, hb, 1, S_pad))]
         inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, Hkv),
+        grid=(B, Hkv // hb),
         in_specs=in_specs,
-        out_specs=[spec4((1, 1, rep, D)), spec4((1, 1, 1, S_pad)),
-                   spec4((1, 1, 1, 128))],
+        out_specs=[spec4((1, hb, rep, D)), spec4((1, hb, 1, S_pad)),
+                   spec4((1, hb, 1, 128))],
     )
     out, probs, pnew = pl.pallas_call(
-        functools.partial(_kernel_inflight, scale=scale, quant=quant),
+        functools.partial(_kernel_inflight, scale=scale, quant=quant, hb=hb),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
