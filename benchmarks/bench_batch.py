@@ -24,13 +24,34 @@ def main():
     from easykv_tpu.models import llama
 
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
+    model7b = os.environ.get("EASYKV_BENCH_MODEL", "1.1b") == "7b"
+    kv_quant = False
+    if on_tpu and model7b:
+        # 7B with int8 or int4 weights (EASYKV_BENCH_WEIGHTS) + int8 KV —
+        # the production aggregate-serving configuration
+        from bench import fake_int4_params, fake_int8_params
+
+        cfg = ModelConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=32, max_position_embeddings=4096,
+        )
+        dtype, P, gen, budget, batches = jnp.bfloat16, 512, 256, 200, [1, 2, 4, 8]
+        w4 = os.environ.get("EASYKV_BENCH_WEIGHTS", "int8") == "int4"
+        params = fake_int4_params(cfg) if w4 else fake_int8_params(cfg)
+        from easykv_tpu.ops.quant import fuse_gemv_params
+
+        params = fuse_gemv_params(params)
+        kv_quant = True
+        log(f"7B {'int4' if w4 else 'int8'} weights, int8 KV")
+    elif on_tpu:
         cfg = ModelConfig(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
             num_hidden_layers=22, num_attention_heads=32, num_key_value_heads=4,
             max_position_embeddings=2048,
         )
         dtype, P, gen, budget, batches = jnp.bfloat16, 512, 256, 200, [1, 4, 8, 16]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     else:
         cfg = ModelConfig(
             vocab_size=512, hidden_size=128, intermediate_size=256,
@@ -38,10 +59,11 @@ def main():
             max_position_embeddings=1024,
         )
         dtype, P, gen, budget, batches = jnp.float32, 64, 32, 16, [1, 4]
+        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
 
-    params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
     jax.block_until_ready(params)
-    model = CausalLM(cfg, params, dtype=str(jnp.dtype(dtype)))
+    model = CausalLM(cfg, params, dtype=str(jnp.dtype(dtype)),
+                     kv_quant=kv_quant)
     rng = np.random.default_rng(0)
 
     for B in batches:
@@ -50,6 +72,7 @@ def main():
             cfg=cfg, mode="decoding", policy="roco", stride=1, length=P,
             budget=budget, recent_window_dec=int(budget * 0.3),
             max_new_tokens=gen, dtype=str(jnp.dtype(dtype)),
+            kv_quant=kv_quant,
         )
         prompt_len = jnp.full((B,), P, jnp.int32)
         args = (st, model.params, ids, prompt_len, jnp.float32(1.0),

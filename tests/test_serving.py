@@ -73,3 +73,33 @@ def test_slot_recycling_and_eos():
     assert 1 <= len(outs[8]) <= 3
     if outs[8][-1] != out[0]:
         assert len(outs[8]) == 3
+
+
+def test_serving_int4_batched_matches_single():
+    """int4 (w4a16) model through the serving engine: the resident s4
+    materialization (materialize_params_resident) + per-tick jits must give
+    the same greedy tokens as single-request generate() on the same tree."""
+    from easykv_tpu.ops.quant import quantize_params_int4
+
+    base = make_model()
+    qparams = quantize_params_int4(base.params, group_size=16)
+    model = CausalLM(base.cfg, qparams)
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(1, 90, size=(n,)) for n in (14, 21)]
+    singles = [
+        generate(
+            model, p,
+            {"budget": 8, "kv_policy": "roco", "max_new_tokens": 8,
+             "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []},
+            kv_mode="decoding",
+        )
+        for p in prompts
+    ]
+    eng = ContinuousBatchEngine(
+        model, batch_slots=2, max_prompt=64, budget=8, kv_policy="roco",
+        temperature=1e-9, top_p=1.0,
+    )
+    for i, p in enumerate(prompts):
+        eng.submit(Request(request_id=i, ids=p, max_new_tokens=8))
+    outs = eng.run_all()
+    assert outs[0] == singles[0] and outs[1] == singles[1]
