@@ -53,7 +53,14 @@ from ..policies import (
 from ..ops.quant import materialize_params
 from ..sampling import logits_adapter, sample_token, sample_topp
 
-PREFILL_CHUNK = 128
+import os as _os
+
+# Width of the no-eviction prefix-prefill chunks (decode-mode prompt, the
+# encoding-mode prefix [0:r_idx], ppl full-cache). Purely a performance
+# knob — no evictions happen inside the prefix, so any width is
+# semantics-preserving. Wider chunks amortize the per-chunk weight pass;
+# peak memory for the per-layer attention probs grows linearly with it.
+PREFILL_CHUNK = int(_os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "128"))
 
 
 def _round_up(x: int, m: int) -> int:
