@@ -242,6 +242,54 @@ def write_tokens(
     )
 
 
+def write_tokens_at(
+    cache: LayerCache,
+    new_k: jax.Array,        # (B, H, C, D)
+    new_v: jax.Array,        # (B, H, C, D)
+    new_pos: jax.Array,      # (B, C) int32
+    counter_init: jax.Array,  # (B, C) f32
+    ids: jax.Array,          # (B, H, C) int32 target slots, per head
+) -> LayerCache:
+    """write_tokens with caller-provided target slots (all tokens valid).
+
+    The layer-major strided encode knows its free slots without searching:
+    writes are contiguous until the cache saturates, and afterwards each
+    chunk fills exactly the slots the previous eviction invalidated — so the
+    per-chunk free_slot_ids sort over (B, H, S) (the dominant encode cost,
+    RESULTS.md encode decomposition) is replaced by carrying the evicted ids
+    into the next chunk. Identical result to write_tokens when `ids` equals
+    free_slot_ids(cache.pos, C) — asserted by tests/test_layer_major.py's
+    slot-exact parity."""
+    B, H, C, _ = new_k.shape
+    b_ix = jnp.arange(B)[:, None, None]
+    h_ix = jnp.arange(H)[None, :, None]
+    if cache.quantized:
+        new_k, k_sc = quantize_kv(new_k)
+        new_v, v_sc = quantize_kv(new_v)
+    else:
+        new_k = new_k.astype(cache.k.dtype)
+        new_v = new_v.astype(cache.v.dtype)
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        k_scale = k_scale.at[b_ix, h_ix, ids].set(k_sc)
+        v_scale = v_scale.at[b_ix, h_ix, ids].set(v_sc)
+    zeros = jnp.zeros((B, H, C), jnp.float32)
+    return LayerCache(
+        k=cache.k.at[b_ix, h_ix, ids].set(new_k),
+        v=cache.v.at[b_ix, h_ix, ids].set(new_v),
+        pos=cache.pos.at[b_ix, h_ix, ids].set(
+            jnp.broadcast_to(new_pos[:, None, :], (B, H, C))
+        ),
+        score=cache.score.at[b_ix, h_ix, ids].set(zeros),
+        score_sq=cache.score_sq.at[b_ix, h_ix, ids].set(zeros),
+        counter=cache.counter.at[b_ix, h_ix, ids].set(
+            jnp.broadcast_to(counter_init[:, None, :], (B, H, C))
+        ),
+        k_scale=k_scale,
+        v_scale=v_scale,
+    )
+
+
 def evict_slots(
     cache: LayerCache, evict_ids: jax.Array, gate: Optional[jax.Array] = None
 ) -> LayerCache:

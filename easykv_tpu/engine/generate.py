@@ -130,11 +130,11 @@ class EngineStatics:
     # to match the sharded params instead of inferring, and a mesh flip
     # retraces.
     tp: Optional[Tuple] = None
-    # Effective Pallas-kernel state (attention, sidecar) at generate() time:
-    # unused in the graph but part of the jit cache key, so flags.use_pallas /
-    # flags.use_sidecar flips retrace instead of serving the other path's
+    # Effective flag state (pallas attention, sidecar kernels, layer-major
+    # encode) at generate() time: unused in the graph but part of the jit
+    # cache key, so a flag flip retraces instead of serving the other path's
     # cached trace.
-    pallas: Tuple = (False, False)
+    pallas: Tuple = (False, False, True)
 
     @property
     def jdtype(self):
@@ -236,6 +236,9 @@ def _prefill(
     A_pad = _round_up(A, PC)
     ids = jnp.pad(ids, ((0, 0), (0, A_pad - A)))
     n_chunks = A_pad // PC
+    if flags.layer_major_enabled():
+        return _prefill_layer_major(st, params, cache, ids, prefix_len, spec,
+                                    counter_kind, PC)
 
     def body(i, carry):
         cache, last_logits = carry
@@ -277,6 +280,56 @@ def _prefill(
 
     init = (cache, jnp.zeros((B, st.cfg.vocab_size), jnp.float32))
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _prefill_layer_major(
+    st: EngineStatics,
+    params,
+    cache: KVCache,
+    ids: jax.Array,         # (B, A_pad) already padded
+    prefix_len: jax.Array,  # (B,)
+    spec: Optional[PolicySpec],
+    counter_kind: str,
+    PC: int,
+) -> Tuple[KVCache, jax.Array]:
+    """Layer-major prefix prefill (llama.prefill_layer_major): the prefix is
+    eviction-free, so the whole phase is per-layer big matmuls + a chunked
+    attention/write scan. Same bootstrap semantics as the chunked body."""
+    B, A_pad = ids.shape
+    n = A_pad // PC
+    pos = jnp.asarray(
+        np.arange(n)[:, None] * PC + np.arange(PC)[None, :], jnp.int32
+    )                                                      # (n, PC)
+    posb = jnp.broadcast_to(pos[:, None, :], (n, B, PC))
+    tok_valid = posb < prefix_len[None, :, None]
+    if counter_kind == "encode":
+        cinit = _encode_counter_init(pos, st.idx, st.stride, st.keep_attention)
+    else:
+        cinit = jnp.zeros_like(pos, jnp.float32)
+    ctxs = StepCtx(
+        q_pos=jnp.where(tok_valid, posb, -1),
+        token_valid=tok_valid,
+        counter_init=jnp.broadcast_to(
+            cinit[:, None, :], (n, B, PC)
+        ).astype(jnp.float32),
+        next_pos=jnp.minimum(
+            (jnp.arange(n, dtype=jnp.int32)[:, None] + 1) * PC,
+            prefix_len[None, :],
+        ),
+        prompt_len=jnp.broadcast_to(prefix_len[None, :], (n, B)),
+        evict_gate=jnp.zeros((n, B), bool),
+        update_gate=jnp.ones((n, B), bool),
+        rand_rank=jnp.zeros((n, B), jnp.int32),
+    )
+    h, cache = llama.prefill_layer_major(params, st.cfg, cache, ids, ctxs, spec)
+    h_last = jnp.take_along_axis(
+        h, jnp.maximum(prefix_len - 1, 0)[:, None, None], axis=1
+    )
+    last_logits = llama._logits_tail(h_last, params, st.cfg)[:, 0]
+    last_logits = jnp.where(
+        (prefix_len > 0)[:, None], last_logits, jnp.zeros_like(last_logits)
+    )
+    return cache, last_logits
 
 
 def _ring_prefill(
@@ -335,6 +388,10 @@ def _strided_encode(
     B = input_ids.shape[0]
     stride, idx = st.stride, st.idx
     n_chunks = (st.length - st.r_idx) // stride
+    if flags.layer_major_enabled() and not st.streaming and n_chunks > 0:
+        return _strided_encode_layer_major(
+            st, params, cache, input_ids, spec, seed, collect_ppl, last_logits0
+        )
     S_enc = idx + stride  # logical encode-phase buffer (reference score width)
     evicting = spec.policy != "full"
 
@@ -395,6 +452,103 @@ def _strided_encode(
         jnp.full((B,), st.r_idx, jnp.int32),
     )
     return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _strided_encode_layer_major(
+    st: EngineStatics,
+    params,
+    cache: KVCache,
+    input_ids: jax.Array,
+    spec: PolicySpec,
+    seed: jax.Array,
+    collect_ppl: bool,
+    last_logits0=None,
+):
+    """Layer-major variant of _strided_encode (same contract): the chunk
+    schedule is computed here (it is fully static — every batch row feeds
+    st.length tokens, so the reference's per-row trigger is row-uniform) and
+    the model runs one whole-width pass per layer with an inner chunk scan
+    (llama.strided_encode_layer_major). Token/slot-exact vs the chunk-major
+    path (tests/test_layer_major.py); ~the chunk count fewer weight passes."""
+    B = input_ids.shape[0]
+    stride, idx = st.stride, st.idx
+    n = (st.length - st.r_idx) // stride
+    S_enc = idx + stride
+    evicting = spec.policy != "full"
+    keep = bool(st.keep_attention)
+
+    # Static schedule, mirroring the chunk-major body exactly
+    # (trigger = kv_len + stride > idx, reference easykv.py:459).
+    kv = st.r_idx
+    trig_l, kv_before = [], []
+    for _ in range(n):
+        kv_before.append(kv)
+        t = kv + stride > idx
+        trig_l.append(t)
+        kv = kv + stride - (stride if (t and evicting) else 0)
+    trig = jnp.asarray(trig_l, bool)                         # (n,)
+    write_start = jnp.broadcast_to(
+        jnp.asarray(kv_before, jnp.int32)[:, None], (n, B)
+    )
+
+    starts = st.r_idx + stride * np.arange(n)
+    pos = jnp.asarray(starts[:, None] + np.arange(stride)[None, :], jnp.int32)
+    cinit = _encode_counter_init(pos, idx, stride, keep)      # (n, C)
+    u = jax.vmap(
+        lambda i: jax.random.uniform(jax.random.fold_in(seed, i), (B,))
+    )(jnp.arange(n))
+    ctxs = StepCtx(
+        q_pos=jnp.broadcast_to(pos[:, None, :], (n, B, stride)),
+        token_valid=jnp.ones((n, B, stride), bool),
+        counter_init=jnp.broadcast_to(
+            cinit[:, None, :], (n, B, stride)
+        ).astype(jnp.float32),
+        next_pos=jnp.broadcast_to(
+            jnp.asarray(starts + stride, jnp.int32)[:, None], (n, B)
+        ),
+        prompt_len=jnp.zeros((n, B), jnp.int32),
+        evict_gate=(jnp.broadcast_to(trig[:, None], (n, B)) if evicting
+                    else jnp.zeros((n, B), bool)),
+        update_gate=jnp.broadcast_to((keep | trig)[:, None], (n, B)),
+        rand_rank=(u * (S_enc - stride)).astype(jnp.int32),
+    )
+    tokens = input_ids[:, st.r_idx : st.r_idx + n * stride]
+    h, cache = llama.strided_encode_layer_major(
+        params, st.cfg, cache, tokens, ctxs, spec, write_start
+    )
+    last_logits = llama._logits_tail(h[:, -1:, :], params, st.cfg)[:, 0]
+    loss_sum = jnp.zeros((B,), jnp.float32)
+    if collect_ppl:
+        loss_sum = _ce_from_hidden(st, params, h, tokens)
+    kv_len = jnp.full((B,), kv, jnp.int32)
+    return cache, last_logits, loss_sum, kv_len
+
+
+def _ce_from_hidden(st: EngineStatics, params, h: jax.Array, tokens: jax.Array,
+                    true_len: Optional[jax.Array] = None):
+    """Teacher-forced CE from final hidden states: token j scored from row
+    j-1, summed over j in [1, true_len) — identical to the chunk-major
+    intra+cross accumulation (reference easykv.py:896-899; the first fed
+    token has no predictor). The lm head runs in PREFILL_CHUNK blocks so the
+    (B, T, V) logits are never materialized."""
+    B, T, _ = h.shape
+    if true_len is None:
+        true_len = jnp.full((B,), T, jnp.int32)
+    PC = min(PREFILL_CHUNK, _round_up(T, 8))
+    T_pad = _round_up(T, PC)
+    h = jnp.pad(h, ((0, 0), (0, T_pad - T), (0, 0)))
+    tgt = jnp.pad(tokens, ((0, 0), (0, T_pad - T + 1)))
+
+    def body(i, loss_sum):
+        s = i * PC
+        hb = jax.lax.dynamic_slice_in_dim(h, s, PC, axis=1)
+        tb = jax.lax.dynamic_slice_in_dim(tgt, s + 1, PC, axis=1)
+        logp = jax.nn.log_softmax(llama._logits_tail(hb, params, st.cfg), axis=-1)
+        ce = -jnp.take_along_axis(logp, tb[..., None], axis=-1)[..., 0]
+        mask = ((s + jnp.arange(PC))[None, :] + 1 < true_len[:, None])
+        return loss_sum + jnp.sum(ce * mask.astype(jnp.float32), axis=-1)
+
+    return jax.lax.fori_loop(0, T_pad // PC, body, jnp.zeros((B,), jnp.float32))
 
 
 # ---------------------------------------------------------------------------
@@ -634,6 +788,29 @@ def _run_ppl_full(st: EngineStatics, params, input_ids):
     ids = jnp.pad(input_ids, ((0, 0), (0, L_pad - L)))
     cache = _engine_cache(st, B, L_pad)
     true_len = jnp.full((B,), L, jnp.int32)
+    if flags.layer_major_enabled():
+        n = L_pad // PC
+        pos = jnp.asarray(
+            np.arange(n)[:, None] * PC + np.arange(PC)[None, :], jnp.int32
+        )
+        posb = jnp.broadcast_to(pos[:, None, :], (n, B, PC))
+        tok_valid = posb < true_len[None, :, None]
+        ctxs = StepCtx(
+            q_pos=jnp.where(tok_valid, posb, -1),
+            token_valid=tok_valid,
+            counter_init=jnp.zeros((n, B, PC), jnp.float32),
+            next_pos=jnp.minimum(
+                (jnp.arange(n, dtype=jnp.int32)[:, None] + 1) * PC,
+                true_len[None, :],
+            ),
+            prompt_len=jnp.broadcast_to(true_len[None, :], (n, B)),
+            evict_gate=jnp.zeros((n, B), bool),
+            update_gate=jnp.ones((n, B), bool),
+            rand_rank=jnp.zeros((n, B), jnp.int32),
+        )
+        h, _ = llama.prefill_layer_major(params, st.cfg, cache, ids, ctxs, None)
+        loss_sum = _ce_from_hidden(st, params, h, ids, true_len=true_len)
+        return loss_sum / (L - 1)
 
     def body(i, carry):
         cache, last_logits, loss_sum = carry
@@ -775,7 +952,8 @@ def generate(
         kv_quant=getattr(model, "kv_quant", False),
         sp=flags.sp_mesh(),
         tp=flags.active_mesh(),
-        pallas=(flags.pallas_enabled(), flags.sidecar_enabled()),
+        pallas=(flags.pallas_enabled(), flags.sidecar_enabled(),
+                flags.layer_major_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

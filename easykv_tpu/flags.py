@@ -125,6 +125,30 @@ def w4_kernel_enabled() -> bool:
     return False
 
 
+_LAYER_MAJOR_OVERRIDE: Optional[bool] = None
+
+
+def use_layer_major(enabled: Optional[bool]) -> None:
+    """Force the layer-major strided encode (per layer: one whole-prompt
+    QKV/MLP matmul + an inner chunk scan for the cache ops) on/off.
+    None = env EASYKV_TPU_LAYER_MAJOR, default on — the chunk-major path
+    re-streams all weights per stride-wide chunk (RESULTS.md "Encode
+    diagnosis")."""
+    global _LAYER_MAJOR_OVERRIDE
+    _LAYER_MAJOR_OVERRIDE = enabled
+
+
+def layer_major_enabled() -> bool:
+    import os
+
+    if _LAYER_MAJOR_OVERRIDE is not None:
+        return _LAYER_MAJOR_OVERRIDE
+    env = os.environ.get("EASYKV_TPU_LAYER_MAJOR")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    return True
+
+
 def pallas_interpret() -> bool:
     """Pallas kernels need interpret mode off-TPU (CPU mesh tests)."""
     import jax

@@ -28,6 +28,7 @@ from ..cache import (
     kv_dequant,
     quantize_kv,
     write_tokens,
+    write_tokens_at,
 )
 from ..config import ModelConfig
 from ..ops.attention import attend, attend_inflight
@@ -252,6 +253,181 @@ def forward(
 
     h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
     return _logits_tail(h, params, cfg), KVCache(*new_cache)
+
+
+def strided_encode_layer_major(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    token_ids: jax.Array,   # (B, T), T = n_chunks * stride
+    ctxs: StepCtx,          # every leaf stacked with a leading (n_chunks,) axis
+    spec,                   # PolicySpec (may be policy='full')
+    write_start: jax.Array,  # (n_chunks, B) int32: kv_len before each chunk
+) -> Tuple[jax.Array, KVCache]:
+    """Strided encoding with per-chunk eviction, restructured layer-major:
+    per layer, the QKV projection and the MLP run over ALL chunks in one
+    matmul, and only the weight-free cache ops (attend, score update,
+    eviction) iterate chunk-by-chunk in an inner scan.
+
+    Semantically identical to chunking the whole forward (engine
+    _strided_encode -> forward per chunk; reference easykv.py:426-499):
+    layer l's cache trajectory depends only on layer l's own scores, and the
+    hidden states are teacher-forced (chunk j's input to layer l+1 is layer
+    l's output for chunk j, independent of later evictions at layer l).
+    Verified token/slot-exact vs the chunk-major path in
+    tests/test_layer_major.py.
+
+    Why: the chunk-major encode is bound by the per-chunk weight pass — a
+    stride-wide (M=24..96) matmul streams int8 weights at ~280 GB/s on v5e,
+    ~3x off spec, and every chunk re-reads all 6.7 GB (RESULTS.md "Encode
+    diagnosis"). Batching the projections over T rows runs them near
+    compute-bound and cuts weight traffic by the chunk count.
+
+    Returns (h (B, T, D) final hidden states BEFORE final_norm, cache) —
+    the engine derives last-token logits and the teacher-forced CE from h.
+    Non-streaming only (the engine falls back for streaming=True).
+    """
+    B, T = token_ids.shape
+    n = ctxs.next_pos.shape[0]
+    C = T // n
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
+    scale = cfg.head_dim ** -0.5
+    evicting = spec is not None and spec.policy != "full"
+    q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
+
+    h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
+
+    def layer(h, xs):
+        p, cl0 = xs
+        x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
+        q, k, v = _proj_qkv(x, p, B, T, Hq, Hkv, Dh)
+        q = apply_rope(q, q_pos_flat[:, None, :], inv_freq)
+        k = apply_rope(k, q_pos_flat[:, None, :], inv_freq)
+        # (B, H, T, D) -> (n, B, H, C, D) chunk-major for the inner scan
+        qc = q.reshape(B, Hq, n, C, Dh).transpose(2, 0, 1, 3, 4)
+        kc = k.reshape(B, Hkv, n, C, Dh).transpose(2, 0, 1, 3, 4)
+        vc = v.reshape(B, Hkv, n, C, Dh).transpose(2, 0, 1, 3, 4)
+
+        def chunk(carry, cxs):
+            cl_t, wids = carry
+            cl = LayerCache(*cl_t)
+            q_c, k_c, v_c, ctx, wstart = cxs
+            # Write slots are carried, not searched: contiguous while the
+            # cache fills, the previous event's evicted slots afterwards
+            # (free_slot_ids-equivalent by the ring invariant — writes always
+            # fill the lowest free slots, so the occupied region stays
+            # [0, idx+stride) and evicted ids are always the lowest free).
+            cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
+                                 wids)
+            k_raw, v_raw = kv_dequant(cl, q_c.dtype)
+            out, probs_kv = attend(
+                q_c, k_raw, v_raw, cl.pos, ctx.q_pos,
+                sliding_window=cfg.sliding_window, scale=scale,
+            )
+            if spec is not None and spec.policy != "full":
+                cl = update_scores(cl, probs_kv, spec, ctx.update_gate)
+            contig = wstart[:, None, None] + C + jnp.arange(C, dtype=jnp.int32)
+            contig = jnp.broadcast_to(contig, (B, Hkv, C))
+            if evicting:
+                from ..policies import evict_layer
+
+                cl, eids = evict_layer(cl, spec, ctx.next_pos, ctx.prompt_len,
+                                       ctx.rand_rank, ctx.evict_gate)
+                wids = jnp.where(ctx.evict_gate[:, None, None],
+                                 jnp.sort(eids, axis=-1), contig)
+            else:
+                wids = contig
+            return (tuple(cl), wids), out
+
+        wids0 = jnp.broadcast_to(
+            write_start[0][:, None, None] + jnp.arange(C, dtype=jnp.int32),
+            (B, Hkv, C),
+        )
+        (cl_t, _), outs = jax.lax.scan(
+            chunk, (tuple(LayerCache(*cl0)), wids0), (qc, kc, vc, ctxs,
+                                                      write_start)
+        )
+        # (n, B, Hq, C, D) -> (B, T, Hq*D)
+        attn_out = outs.transpose(1, 0, 3, 2, 4).reshape(B, T, Hq * Dh)
+        h = h + mm(attn_out, p["wo"])
+        x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
+        h = h + _mlp(x2, p)
+        return h, cl_t
+
+    h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
+    return h, KVCache(*new_cache)
+
+
+def prefill_layer_major(
+    params: Params,
+    cfg: ModelConfig,
+    cache: KVCache,
+    token_ids: jax.Array,   # (B, A_pad), A_pad = n_chunks * C
+    ctxs: StepCtx,          # leaves stacked with a leading (n_chunks,) axis
+    spec,                   # PolicySpec for the keep_attention bootstrap, or None
+) -> Tuple[jax.Array, KVCache]:
+    """Layer-major no-eviction prefill: the counterpart of
+    strided_encode_layer_major for the prefix/prompt phase (engine _prefill,
+    ppl full-cache). One whole-width QKV/MLP matmul per layer; attention and
+    the cache writes scan chunk-by-chunk. Writes go to virgin slots
+    [start, start+C) — token j lands in slot j on the empty engine cache, so
+    no free-slot search; padding tokens write pos=-1 (slot stays invalid,
+    garbage K/V masked out of attention).
+
+    Returns (h (B, A_pad, D) pre-final-norm, cache). With a PolicySpec the
+    bootstrap score accumulation (reference h2o_head_score easykv.py:173-186)
+    runs per chunk, exactly like the chunk-major path."""
+    B, T = token_ids.shape
+    n = ctxs.next_pos.shape[0]
+    C = T // n
+    Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
+    scale = cfg.head_dim ** -0.5
+    q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
+    starts = jnp.arange(n, dtype=jnp.int32) * C
+    wids = jnp.broadcast_to(
+        (starts[:, None] + jnp.arange(C, dtype=jnp.int32))[:, None, None, :],
+        (n, B, Hkv, C),
+    )
+
+    h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
+
+    def layer(h, xs):
+        p, cl0 = xs
+        x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
+        q, k, v = _proj_qkv(x, p, B, T, Hq, Hkv, Dh)
+        q = apply_rope(q, q_pos_flat[:, None, :], inv_freq)
+        k = apply_rope(k, q_pos_flat[:, None, :], inv_freq)
+        qc = q.reshape(B, Hq, n, C, Dh).transpose(2, 0, 1, 3, 4)
+        kc = k.reshape(B, Hkv, n, C, Dh).transpose(2, 0, 1, 3, 4)
+        vc = v.reshape(B, Hkv, n, C, Dh).transpose(2, 0, 1, 3, 4)
+
+        def chunk(cl_t, cxs):
+            cl = LayerCache(*cl_t)
+            q_c, k_c, v_c, ctx, ids = cxs
+            cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
+                                 ids)
+            k_raw, v_raw = kv_dequant(cl, q_c.dtype)
+            out, probs_kv = attend(
+                q_c, k_raw, v_raw, cl.pos, ctx.q_pos,
+                sliding_window=cfg.sliding_window, scale=scale,
+            )
+            if spec is not None:
+                cl = update_scores(cl, probs_kv, spec, ctx.update_gate,
+                                   bootstrap=True)
+            return tuple(cl), out
+
+        cl_t, outs = jax.lax.scan(chunk, tuple(LayerCache(*cl0)),
+                                  (qc, kc, vc, ctxs, wids))
+        attn_out = outs.transpose(1, 0, 3, 2, 4).reshape(B, T, Hq * Dh)
+        h = h + mm(attn_out, p["wo"])
+        x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
+        h = h + _mlp(x2, p)
+        return h, cl_t
+
+    h, new_cache = jax.lax.scan(layer, h, (params["layers"], tuple(cache)))
+    return h, KVCache(*new_cache)
 
 
 def ring_prefill_forward(

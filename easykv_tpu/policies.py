@@ -345,6 +345,49 @@ def bump_counters(
     return cache._replace(counter=cache.counter + delta)
 
 
+def evict_layer(
+    cache: LayerCache,
+    spec: PolicySpec,
+    next_pos: jax.Array,    # (B,)
+    prompt_len: jax.Array,  # (B,)
+    rand_rank: jax.Array,   # (B,)
+    gate: jax.Array,        # (B,) bool
+) -> LayerCache:
+    """One gated eviction event for a single layer's cache — the in-scan
+    companion of evict_cache, used by the layer-major strided encode
+    (models/llama.strided_encode_layer_major) where each layer processes all
+    chunks before the next layer runs. Same order as evict_cache: bump
+    counters, select, invalidate; the lax.cond carries only the sidecars
+    (eviction never touches K/V data).
+
+    Returns (cache, evict_ids (B, H, k)): the ids are only meaningful for
+    rows whose gate fired (zeros otherwise) — the layer-major encode sorts
+    them into the next chunk's write slots (cache.write_tokens_at)."""
+    B, H, _ = cache.pos.shape
+
+    def do_evict(sc):
+        pos, score, score_sq, counter = sc
+        lc = LayerCache(k=None, v=None, pos=pos, score=score,
+                        score_sq=score_sq, counter=counter,
+                        k_scale=None, v_scale=None)
+        lc = bump_counters(lc, float(spec.k), gate)
+        ids = select_evictions(lc, spec, next_pos, prompt_len, rand_rank)
+        lc = evict_slots(lc, ids, gate)
+        return (lc.pos, lc.score, lc.score_sq, lc.counter, ids)
+
+    def no_evict(sc):
+        pos, score, score_sq, counter = sc
+        return (pos, score, score_sq, counter,
+                jnp.zeros((B, H, spec.k), jnp.int32))
+
+    sc = (cache.pos, cache.score, cache.score_sq, cache.counter)
+    pos, score, score_sq, counter, ids = jax.lax.cond(
+        jnp.any(gate), do_evict, no_evict, sc
+    )
+    return cache._replace(pos=pos, score=score, score_sq=score_sq,
+                          counter=counter), ids
+
+
 def evict_cache(
     cache: KVCache,
     spec: PolicySpec,
