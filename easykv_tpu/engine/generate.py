@@ -58,9 +58,12 @@ import os as _os
 # Width of the no-eviction prefix-prefill chunks (decode-mode prompt, the
 # encoding-mode prefix [0:r_idx], ppl full-cache). Purely a performance
 # knob — no evictions happen inside the prefix, so any width is
-# semantics-preserving. Wider chunks amortize the per-chunk weight pass;
-# peak memory for the per-layer attention probs grows linearly with it.
-PREFILL_CHUNK = int(_os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "128"))
+# semantics-preserving; peak memory for the per-layer attention probs grows
+# linearly with it. Default 1024, measured best for the layer-major prefill
+# (fewer dispatch-bound inner-scan iterations; benchmarks/bench_lm_parts.py
+# PC sweep at 7B int8-KV: roco-prefix 4009->5311 tok/s, full-prefix
+# 3418->3518 vs PC=128; 256/512 regress the large-S full case).
+PREFILL_CHUNK = int(_os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "1024"))
 
 
 def _round_up(x: int, m: int) -> int:
