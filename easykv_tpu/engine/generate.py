@@ -134,10 +134,10 @@ class EngineStatics:
     # retraces.
     tp: Optional[Tuple] = None
     # Effective flag state (pallas attention, sidecar kernels, layer-major
-    # encode) at generate() time: unused in the graph but part of the jit
-    # cache key, so a flag flip retraces instead of serving the other path's
-    # cached trace.
-    pallas: Tuple = (False, False, True)
+    # encode, chunk kernel) at generate() time: unused in the graph but part
+    # of the jit cache key, so a flag flip retraces instead of serving the
+    # other path's cached trace.
+    pallas: Tuple = (False, False, True, False)
 
     @property
     def jdtype(self):
@@ -956,7 +956,7 @@ def generate(
         sp=flags.sp_mesh(),
         tp=flags.active_mesh(),
         pallas=(flags.pallas_enabled(), flags.sidecar_enabled(),
-                flags.layer_major_enabled()),
+                flags.layer_major_enabled(), flags.chunk_kernel_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

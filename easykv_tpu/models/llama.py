@@ -213,17 +213,20 @@ def forward(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
             )
-        elif (cfg.sliding_window is None and not cl.quantized
-              and flags.chunk_kernel_enabled()):
+        elif cfg.sliding_window is None and flags.chunk_kernel_enabled():
             # Fused chunk path (strided encoding / prefill): flash attention
-            # + on-chip score reduction (ops/pallas/chunk_attention.py).
+            # + on-chip score reduction (ops/pallas/chunk_attention.py);
+            # int8-KV caches stream at half the bytes with dequant folded in.
             from ..ops.pallas.chunk_attention import fused_chunk_attend
 
             need_scores = spec is not None and (
                 bootstrap or spec.policy in ("h2o_head", "roco", "tova")
             )
             out, ssum, ssq, last = fused_chunk_attend(
-                q, cl.k, cl.v, cl.pos, ctx.q_pos, need_scores=need_scores
+                q, cl.k, cl.v, cl.pos, ctx.q_pos,
+                k_scale=cl.k_scale if cl.quantized else None,
+                v_scale=cl.v_scale if cl.quantized else None,
+                need_scores=need_scores, interpret=flags.pallas_interpret(),
             )
             probs_kv = None
             if need_scores:
@@ -295,6 +298,7 @@ def strided_encode_layer_major(
     scale = cfg.head_dim ** -0.5
     evicting = spec is not None and spec.policy != "full"
     q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
+    use_ck = cfg.sliding_window is None and flags.chunk_kernel_enabled()
 
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
 
@@ -320,13 +324,28 @@ def strided_encode_layer_major(
             # [0, idx+stride) and evicted ids are always the lowest free).
             cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
                                  wids)
-            k_raw, v_raw = kv_dequant(cl, q_c.dtype)
-            out, probs_kv = attend(
-                q_c, k_raw, v_raw, cl.pos, ctx.q_pos,
-                sliding_window=cfg.sliding_window, scale=scale,
-            )
-            if spec is not None and spec.policy != "full":
-                cl = update_scores(cl, probs_kv, spec, ctx.update_gate)
+            if use_ck:
+                from ..ops.pallas.chunk_attention import fused_chunk_attend
+
+                need = spec is not None and spec.policy in (
+                    "h2o_head", "roco", "tova")
+                out, ssum, ssq, last = fused_chunk_attend(
+                    q_c, cl.k, cl.v, cl.pos, ctx.q_pos,
+                    k_scale=cl.k_scale if cl.quantized else None,
+                    v_scale=cl.v_scale if cl.quantized else None,
+                    need_scores=need, interpret=flags.pallas_interpret(),
+                )
+                if need:
+                    cl = update_scores_reduced(cl, ssum, ssq, last, spec,
+                                               ctx.update_gate)
+            else:
+                k_raw, v_raw = kv_dequant(cl, q_c.dtype)
+                out, probs_kv = attend(
+                    q_c, k_raw, v_raw, cl.pos, ctx.q_pos,
+                    sliding_window=cfg.sliding_window, scale=scale,
+                )
+                if spec is not None and spec.policy != "full":
+                    cl = update_scores(cl, probs_kv, spec, ctx.update_gate)
             contig = wstart[:, None, None] + C + jnp.arange(C, dtype=jnp.int32)
             contig = jnp.broadcast_to(contig, (B, Hkv, C))
             if evicting:
@@ -385,6 +404,7 @@ def prefill_layer_major(
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
     q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
+    use_ck = cfg.sliding_window is None and flags.chunk_kernel_enabled()
     starts = jnp.arange(n, dtype=jnp.int32) * C
     wids = jnp.broadcast_to(
         (starts[:, None] + jnp.arange(C, dtype=jnp.int32))[:, None, None, :],
@@ -408,14 +428,28 @@ def prefill_layer_major(
             q_c, k_c, v_c, ctx, ids = cxs
             cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
                                  ids)
-            k_raw, v_raw = kv_dequant(cl, q_c.dtype)
-            out, probs_kv = attend(
-                q_c, k_raw, v_raw, cl.pos, ctx.q_pos,
-                sliding_window=cfg.sliding_window, scale=scale,
-            )
-            if spec is not None:
-                cl = update_scores(cl, probs_kv, spec, ctx.update_gate,
-                                   bootstrap=True)
+            if use_ck:
+                from ..ops.pallas.chunk_attention import fused_chunk_attend
+
+                out, ssum, ssq, last = fused_chunk_attend(
+                    q_c, cl.k, cl.v, cl.pos, ctx.q_pos,
+                    k_scale=cl.k_scale if cl.quantized else None,
+                    v_scale=cl.v_scale if cl.quantized else None,
+                    need_scores=spec is not None,
+                    interpret=flags.pallas_interpret(),
+                )
+                if spec is not None:
+                    cl = update_scores_reduced(cl, ssum, ssq, last, spec,
+                                               ctx.update_gate, bootstrap=True)
+            else:
+                k_raw, v_raw = kv_dequant(cl, q_c.dtype)
+                out, probs_kv = attend(
+                    q_c, k_raw, v_raw, cl.pos, ctx.q_pos,
+                    sliding_window=cfg.sliding_window, scale=scale,
+                )
+                if spec is not None:
+                    cl = update_scores(cl, probs_kv, spec, ctx.update_gate,
+                                       bootstrap=True)
             return tuple(cl), out
 
         cl_t, outs = jax.lax.scan(chunk, tuple(LayerCache(*cl0)),

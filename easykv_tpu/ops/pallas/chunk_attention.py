@@ -39,9 +39,12 @@ def _row_qpos(qpos_ref, rep: int, C: int):
     return qp.reshape(rep * C, 1)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
-                  out_ref, m_ref, l_ref,
-                  acc, m_s, l_s, *, scale, rep, C):
+def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
+                  scale, rep, C, quantized):
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    out_ref, m_ref, l_ref, acc, m_s, l_s = rest
     s = pl.program_id(2)
     nS = pl.num_programs(2)
 
@@ -60,6 +63,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                  # (rep*C, TS)
+    if quantized:
+        # int8 KV: per-slot dequant folded into the logits (row-vector
+        # multiply) and into the e·V accumulation, never materialized.
+        logits = logits * ks_ref[0, 0]         # (1, TS) broadcast
     mask = (pos >= 0) & (pos <= qp)
     logits = jnp.where(mask, logits, NEG_INF)
 
@@ -67,8 +74,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
     e = jnp.where(mask, jnp.exp(logits - m_new), 0.0)
     c_old = jnp.exp(m_s[:] - m_new)
     l_s[:] = l_s[:] * c_old + jnp.sum(e, axis=-1, keepdims=True)
+    ev = e * vs_ref[0, 0] if quantized else e
     acc[:] = acc[:] * c_old + jax.lax.dot_general(
-        e, v_ref[0, 0].astype(jnp.float32),
+        ev, v_ref[0, 0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -81,8 +89,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
         l_ref[0, 0] = l_s[:]
 
 
-def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, m_ref, l_ref,
-                  ssum_ref, ssq_ref, last_ref, *, scale, rep, C):
+def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, *rest,
+                  scale, rep, C, quantized):
+    if quantized:
+        ks_ref = rest[0]
+        rest = rest[1:]
+    m_ref, l_ref, ssum_ref, ssq_ref, last_ref = rest
     q = q_ref[0, 0].astype(jnp.float32)       # (rep*C, D)
     k = k_ref[0, 0].astype(jnp.float32)       # (TS, D)
     pos = pos_ref[0, 0]                       # (1, TS)
@@ -92,6 +104,8 @@ def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, m_ref, l_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
+    if quantized:
+        logits = logits * ks_ref[0, 0]
     mask = (pos >= 0) & (pos <= qp)
     p = jnp.where(mask, jnp.exp(logits - m_ref[0, 0]), 0.0)
     p = p / jnp.maximum(l_ref[0, 0], 1e-30)    # exact probabilities (rep*C, TS)
@@ -104,13 +118,18 @@ def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, m_ref, l_ref,
     last_ref[0, 0] = p_kv[C - 1 :, :]          # last chunk row
 
 
-def _onepass_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
-                    out_ref, ssum_ref, ssq_ref, last_ref,
-                    *, scale, rep, C, need_scores):
+def _onepass_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
+                    scale, rep, C, need_scores, quantized):
     """Single-pass chunk attention: the whole (rep*C, S) logits block lives
     in VMEM, so there is no online-softmax rescale, no second QK pass, and
     no m/l HBM round trip. Valid while the block fits VMEM (gated by the
-    wrapper); the 2-pass flash variant covers larger S."""
+    wrapper); the 2-pass flash variant covers larger S. int8-KV caches
+    stream at half the bytes with the per-slot dequant scales folded into
+    the logits (K) and the p·V dot (V)."""
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    out_ref, ssum_ref, ssq_ref, last_ref = rest
     q = q_ref[0, 0].astype(jnp.float32)        # (rep*C, D)
     k = k_ref[0, 0].astype(jnp.float32)        # (S, D)
     pos = pos_ref[0, 0]                        # (1, S)
@@ -120,14 +139,17 @@ def _onepass_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref,
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale                                  # (rep*C, S)
+    if quantized:
+        logits = logits * ks_ref[0, 0]
     mask = (pos >= 0) & (pos <= qp)
     logits = jnp.where(mask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.where(mask, jnp.exp(logits - m), 0.0)
     p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
 
+    pv = p * vs_ref[0, 0] if quantized else p
     out = jax.lax.dot_general(
-        p, v_ref[0, 0].astype(jnp.float32),
+        pv, v_ref[0, 0].astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                          # (rep*C, D)
@@ -153,22 +175,26 @@ def _onepass_fits(rows: int, S_pad: int, D: int, kv_bytes: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
 def fused_chunk_attend(
     q: jax.Array,        # (B, Hq, C, D)
-    k: jax.Array,        # (B, Hkv, S, D)
+    k: jax.Array,        # (B, Hkv, S, D) compute dtype or int8
     v: jax.Array,        # (B, Hkv, S, D)
     kv_pos: jax.Array,   # (B, Hkv, S)
     q_pos: jax.Array,    # (B, C)
+    k_scale: jax.Array = None,  # (B, Hkv, S) f32 per-slot dequant (int8 KV)
+    v_scale: jax.Array = None,
     interpret: bool = False,
     need_scores: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (out (B,Hq,C,D), ssum (B,Hkv,S), ssq (B,Hkv,S),
     last_row (B,Hkv,S)) — the reduced score statistics in slot order
     (None when need_scores=False: plain prefill skips the score pass).
-    Unquantized caches only (encode phase stores the working set in compute
-    dtype); float32 softmax throughout."""
+    float32 softmax throughout; int8-KV caches pass k_scale/v_scale and the
+    dequant is folded on-chip (half the K/V HBM bytes, no materialized
+    dequantized copy)."""
     B, Hq, C, D = q.shape
     Hkv, S = k.shape[1], k.shape[2]
     rep = Hq // Hkv
     scale = D ** -0.5
+    quantized = k_scale is not None
 
     S_pad = ((S + TILE_S - 1) // TILE_S) * TILE_S
     if S_pad != S:
@@ -177,20 +203,30 @@ def fused_chunk_attend(
         v = jnp.pad(v, pad)
         kv_pos = jnp.pad(kv_pos, [(0, 0), (0, 0), (0, S_pad - S)],
                          constant_values=-1)
+        if quantized:
+            p3 = [(0, 0), (0, 0), (0, S_pad - S)]
+            k_scale = jnp.pad(k_scale, p3)
+            v_scale = jnp.pad(v_scale, p3)
     nS = S_pad // TILE_S
 
     qg = q.reshape(B, Hkv, rep * C, D)
     pos4 = kv_pos[:, :, None, :]
     qpos_rows = jnp.tile(q_pos, (1, rep))    # (B, rep*C), row r -> q_pos[r % C]
     qpos4 = qpos_rows[:, None, None, :]
+    if quantized:
+        ks4 = k_scale.astype(jnp.float32)[:, :, None, :]
+        vs4 = v_scale.astype(jnp.float32)[:, :, None, :]
 
     def spec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
     if _onepass_fits(rep * C, S_pad, D, k.dtype.itemsize):
+        sc_specs = ([spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0))] * 2
+                    if quantized else [])
+        sc_args = (ks4, vs4) if quantized else ()
         out, ssum, ssq, last = pl.pallas_call(
             functools.partial(_onepass_kernel, scale=scale, rep=rep, C=C,
-                              need_scores=need_scores),
+                              need_scores=need_scores, quantized=quantized),
             grid=(B, Hkv),
             in_specs=[
                 spec((1, 1, rep * C, D), lambda b, h: (b, h, 0, 0)),
@@ -198,7 +234,7 @@ def fused_chunk_attend(
                 spec((1, 1, S_pad, D), lambda b, h: (b, h, 0, 0)),
                 spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0)),
                 spec((1, 1, 1, rep * C), lambda b, h: (b, 0, 0, 0)),
-            ],
+            ] + sc_specs,
             out_specs=[
                 spec((1, 1, rep * C, D), lambda b, h: (b, h, 0, 0)),
                 spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0)),
@@ -212,15 +248,19 @@ def fused_chunk_attend(
                 jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
             ],
             interpret=interpret,
-        )(qg, k, v, pos4, qpos4)
+        )(qg, k, v, pos4, qpos4, *sc_args)
         out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
         if not need_scores:
             return out, None, None, None
         return out, ssum[:, :, 0, :S], ssq[:, :, 0, :S], last[:, :, 0, :S]
 
     # pass 1: flash attention + stats
+    tile_sc = ([spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s))] * 2
+               if quantized else [])
+    sc_args = (ks4, vs4) if quantized else ()
     out, m, l = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, rep=rep, C=C),
+        functools.partial(_flash_kernel, scale=scale, rep=rep, C=C,
+                          quantized=quantized),
         grid=(B, Hkv, nS),
         in_specs=[
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
@@ -228,7 +268,7 @@ def fused_chunk_attend(
             spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
             spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
             spec((1, 1, 1, rep * C), lambda b, h, s: (b, 0, 0, 0)),
-        ],
+        ] + tile_sc,
         out_specs=[
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
             spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
@@ -245,21 +285,26 @@ def fused_chunk_attend(
             pltpu.VMEM((rep * C, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qg, k, v, pos4, qpos4)
+    )(qg, k, v, pos4, qpos4, *sc_args)
 
     if not need_scores:
         out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
         return out, None, None, None
 
     # pass 2: score statistics per S tile
+    ks_spec = ([spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s))]
+               if quantized else [])
+    ks_args = (ks4,) if quantized else ()
     ssum, ssq, last = pl.pallas_call(
-        functools.partial(_score_kernel, scale=scale, rep=rep, C=C),
+        functools.partial(_score_kernel, scale=scale, rep=rep, C=C,
+                          quantized=quantized),
         grid=(B, Hkv, nS),
         in_specs=[
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
             spec((1, 1, TILE_S, D), lambda b, h, s: (b, h, s, 0)),
             spec((1, 1, 1, TILE_S), lambda b, h, s: (b, h, 0, s)),
             spec((1, 1, 1, rep * C), lambda b, h, s: (b, 0, 0, 0)),
+        ] + ks_spec + [
             spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
             spec((1, 1, rep * C, 1), lambda b, h, s: (b, h, 0, 0)),
         ],
@@ -274,7 +319,7 @@ def fused_chunk_attend(
             jax.ShapeDtypeStruct((B, Hkv, 1, S_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(qg, k, pos4, qpos4, m, l)
+    )(qg, k, pos4, qpos4, *ks_args, m, l)
 
     out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
     return (

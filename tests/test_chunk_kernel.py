@@ -93,3 +93,75 @@ def test_onepass_matches_twopass_flash(monkeypatch):
     for a, b in zip(one, two):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("rep,C,S", [(1, 8, 40), (2, 8, 520)])
+def test_fused_chunk_attend_int8_kv(rep, C, S):
+    """int8-KV path: dequant folded into logits/pV must match the XLA path
+    over the materialized dequantized cache (both 1-pass and flash tiles)."""
+    from easykv_tpu.cache import quantize_kv
+
+    B, Hkv, D = 1, 2, 128
+    Hq = Hkv * rep
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    k_f = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v_f = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    kq, ks = quantize_kv(k_f)
+    vq, vs = quantize_kv(v_f)
+    pos = rng.integers(0, 60, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::5] = -1
+    pos[:, :, :C] = 60 + np.arange(C)
+    kv_pos = jnp.asarray(pos)
+    q_pos = jnp.broadcast_to(
+        60 + jnp.arange(C, dtype=jnp.int32)[None, :], (B, C)
+    )
+
+    k_deq = kq.astype(jnp.float32) * ks[..., None]
+    v_deq = vq.astype(jnp.float32) * vs[..., None]
+    ref_out, ref_probs = attend(q, k_deq, v_deq, kv_pos, q_pos)
+    out, ssum, ssq, last = fused_chunk_attend(
+        q, kq, vq, kv_pos, q_pos, k_scale=ks, v_scale=vs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ssum),
+                               np.asarray(jnp.sum(ref_probs, axis=2)),
+                               atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ssq),
+                               np.asarray(jnp.sum(ref_probs**2, axis=2)),
+                               atol=1e-6, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(last),
+                               np.asarray(ref_probs[:, :, -1, :]),
+                               atol=1e-6, rtol=1e-4)
+
+
+def test_fused_chunk_attend_int8_kv_flash_path(monkeypatch):
+    """Same parity with the 2-pass flash variant forced (1-pass cap at 0)."""
+    import easykv_tpu.ops.pallas.chunk_attention as ca
+    from easykv_tpu.cache import quantize_kv
+
+    monkeypatch.setattr(ca, "_ONEPASS_VMEM_CAP", 0)
+    B, Hkv, rep, C, S, D = 1, 2, 2, 8, 520, 128
+    Hq = Hkv * rep
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    kq, ks = quantize_kv(jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32))
+    vq, vs = quantize_kv(jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32))
+    pos = rng.integers(0, 60, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::5] = -1
+    pos[:, :, :C] = 60 + np.arange(C)
+    kv_pos = jnp.asarray(pos)
+    q_pos = jnp.broadcast_to(60 + jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+
+    k_deq = kq.astype(jnp.float32) * ks[..., None]
+    v_deq = vq.astype(jnp.float32) * vs[..., None]
+    ref_out, ref_probs = attend(q, k_deq, v_deq, kv_pos, q_pos)
+    out, ssum, ssq, last = ca.fused_chunk_attend.__wrapped__(
+        q, kq, vq, kv_pos, q_pos, k_scale=ks, v_scale=vs, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out),
+                               atol=2e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(ssum),
+                               np.asarray(jnp.sum(ref_probs, axis=2)),
+                               atol=1e-5, rtol=1e-4)

@@ -140,3 +140,25 @@ def test_retained_positions_match_chunk_major(tiny_model, kv_quant):
     np.testing.assert_allclose(
         np.asarray(c_on.score), np.asarray(c_off.score), rtol=1e-4, atol=1e-5
     )
+
+
+def test_layer_major_with_chunk_kernel_matches_xla(tiny_model):
+    """Engine-level: layer-major encode with the fused chunk kernel
+    (interpret mode) produces the same greedy tokens as the XLA inner scan."""
+    gc = {"budget": 0.5, "kv_policy": "roco", "max_new_tokens": 6,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": [], "seed": 2}
+    ids = ids_of(60, seed=41)
+    try:
+        flags.use_layer_major(True)
+        flags.use_pallas(True)          # interpret mode on CPU
+        flags.use_chunk_kernel(True)
+        with_kernel = generate(tiny_model, ids, gc, kv_mode="encoding",
+                               stride=8)
+        flags.use_pallas(None)
+        flags.use_chunk_kernel(None)
+        without = generate(tiny_model, ids, gc, kv_mode="encoding", stride=8)
+    finally:
+        flags.use_layer_major(None)
+        flags.use_pallas(None)
+        flags.use_chunk_kernel(None)
+    assert with_kernel == without
