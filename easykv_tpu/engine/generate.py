@@ -956,7 +956,7 @@ def generate(
         sp=flags.sp_mesh(),
         tp=flags.active_mesh(),
         pallas=(flags.pallas_enabled(), flags.sidecar_enabled(),
-                flags.layer_major_enabled(), flags.chunk_kernel_enabled()),
+                flags.layer_major_enabled(), flags.chunk_kernel_mode()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

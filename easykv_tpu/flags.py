@@ -85,23 +85,36 @@ _CHUNK_KERNEL_OVERRIDE: Optional[bool] = None
 
 
 def use_chunk_kernel(enabled: Optional[bool]) -> None:
-    """Force the fused chunk-attention kernel (strided-encode path) on/off
-    (None = env EASYKV_TPU_CHUNK_KERNEL, default off — the 2-pass flash
-    variant measured slower than XLA; the 1-pass variant's A/B lives in
-    RESULTS.md)."""
+    """Force the fused chunk-attention kernel (strided-encode / prefill
+    paths) on/off (None = env EASYKV_TPU_CHUNK_KERNEL, default 'auto').
+    The wrapper picks the 1-pass whole-logits-in-VMEM variant when it fits
+    VMEM and the 2-pass flash variant otherwise."""
     global _CHUNK_KERNEL_OVERRIDE
     _CHUNK_KERNEL_OVERRIDE = enabled
 
 
-def chunk_kernel_enabled() -> bool:
+def chunk_kernel_mode() -> str:
+    """'on' | 'off' | 'auto'. 'auto' (the default) enables the kernel only
+    for quantized (int8) KV caches, where it streams K/V at half the bytes
+    with dequant folded on-chip and measured +4.5% strided roco / +5.6%
+    keep_attention / +58% wide-chunk full-cache prefill at 7B; on bf16 KV
+    the strided path measured neutral-to-slightly-negative, so 'auto'
+    leaves XLA's fused attend in place there (RESULTS.md "Chunk-attention
+    kernel A/B"). Env EASYKV_TPU_CHUNK_KERNEL: 0/false/off, auto, else on."""
     import os
 
+    if not pallas_enabled():
+        return "off"
     if _CHUNK_KERNEL_OVERRIDE is not None:
-        return _CHUNK_KERNEL_OVERRIDE and pallas_enabled()
+        return "on" if _CHUNK_KERNEL_OVERRIDE else "off"
     env = os.environ.get("EASYKV_TPU_CHUNK_KERNEL")
     if env is not None:
-        return env not in ("0", "false", "off") and pallas_enabled()
-    return False
+        if env in ("0", "false", "off"):
+            return "off"
+        if env == "auto":
+            return "auto"
+        return "on"
+    return "auto"
 
 
 _W4_KERNEL_OVERRIDE: Optional[bool] = None

@@ -145,6 +145,50 @@ def rmsnorm(x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
+def _use_chunk_kernel(cfg: ModelConfig, S: int, C: int, kv_itemsize: int,
+                      B: int) -> bool:
+    """Trace-time gate for the fused chunk-attention kernel (the wrapper
+    picks 1-pass vs 2-pass flash per shape). In 'auto' mode the kernel is
+    used only for quantized (int8) KV — the measured-win regime; see
+    flags.chunk_kernel_mode(). Under an active mesh the kernel runs via
+    shard_map (batch over data, KV heads over model), which needs even
+    shards."""
+    mode = flags.chunk_kernel_mode()
+    if cfg.sliding_window is not None or mode == "off":
+        return False
+    if mode == "auto" and kv_itemsize != 1:
+        return False
+    mi = flags.active_mesh()
+    if mi is not None and mi[0].size > 1:
+        dsz = mi[0].shape.get(mi[1], 1)
+        msz = mi[0].shape.get(mi[2], 1)
+        if B % dsz != 0 or cfg.num_key_value_heads % msz != 0:
+            return False
+    return True
+
+
+def _chunk_attend(cl, q_c, q_pos, need_scores: bool):
+    """fused_chunk_attend with mesh dispatch: direct pallas_call on a single
+    device, shard_map over (data, model) under an active mesh."""
+    from ..ops.pallas.chunk_attention import (
+        fused_chunk_attend,
+        fused_chunk_attend_sharded,
+    )
+
+    kw = dict(
+        k_scale=cl.k_scale if cl.quantized else None,
+        v_scale=cl.v_scale if cl.quantized else None,
+        need_scores=need_scores, interpret=flags.pallas_interpret(),
+    )
+    mi = flags.active_mesh()
+    if mi is not None and mi[0].size > 1:
+        return fused_chunk_attend_sharded(
+            q_c, cl.k, cl.v, cl.pos, q_pos,
+            mesh=mi[0], data_axis=mi[1], model_axis=mi[2], **kw,
+        )
+    return fused_chunk_attend(q_c, cl.k, cl.v, cl.pos, q_pos, **kw)
+
+
 def forward(
     params: Params,
     cfg: ModelConfig,
@@ -213,21 +257,14 @@ def forward(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
             )
-        elif cfg.sliding_window is None and flags.chunk_kernel_enabled():
+        elif _use_chunk_kernel(cfg, cl.k.shape[2], C, cl.k.dtype.itemsize, B):
             # Fused chunk path (strided encoding / prefill): flash attention
             # + on-chip score reduction (ops/pallas/chunk_attention.py);
             # int8-KV caches stream at half the bytes with dequant folded in.
-            from ..ops.pallas.chunk_attention import fused_chunk_attend
-
             need_scores = spec is not None and (
                 bootstrap or spec.policy in ("h2o_head", "roco", "tova")
             )
-            out, ssum, ssq, last = fused_chunk_attend(
-                q, cl.k, cl.v, cl.pos, ctx.q_pos,
-                k_scale=cl.k_scale if cl.quantized else None,
-                v_scale=cl.v_scale if cl.quantized else None,
-                need_scores=need_scores, interpret=flags.pallas_interpret(),
-            )
+            out, ssum, ssq, last = _chunk_attend(cl, q, ctx.q_pos, need_scores)
             probs_kv = None
             if need_scores:
                 cl = update_scores_reduced(
@@ -298,7 +335,8 @@ def strided_encode_layer_major(
     scale = cfg.head_dim ** -0.5
     evicting = spec is not None and spec.policy != "full"
     q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
-    use_ck = cfg.sliding_window is None and flags.chunk_kernel_enabled()
+    use_ck = _use_chunk_kernel(cfg, cache.k.shape[-2], C,
+                               cache.k.dtype.itemsize, B)
 
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
 
@@ -325,16 +363,9 @@ def strided_encode_layer_major(
             cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
                                  wids)
             if use_ck:
-                from ..ops.pallas.chunk_attention import fused_chunk_attend
-
                 need = spec is not None and spec.policy in (
                     "h2o_head", "roco", "tova")
-                out, ssum, ssq, last = fused_chunk_attend(
-                    q_c, cl.k, cl.v, cl.pos, ctx.q_pos,
-                    k_scale=cl.k_scale if cl.quantized else None,
-                    v_scale=cl.v_scale if cl.quantized else None,
-                    need_scores=need, interpret=flags.pallas_interpret(),
-                )
+                out, ssum, ssq, last = _chunk_attend(cl, q_c, ctx.q_pos, need)
                 if need:
                     cl = update_scores_reduced(cl, ssum, ssq, last, spec,
                                                ctx.update_gate)
@@ -404,7 +435,8 @@ def prefill_layer_major(
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
     q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
-    use_ck = cfg.sliding_window is None and flags.chunk_kernel_enabled()
+    use_ck = _use_chunk_kernel(cfg, cache.k.shape[-2], C,
+                               cache.k.dtype.itemsize, B)
     starts = jnp.arange(n, dtype=jnp.int32) * C
     wids = jnp.broadcast_to(
         (starts[:, None] + jnp.arange(C, dtype=jnp.int32))[:, None, None, :],
@@ -429,15 +461,8 @@ def prefill_layer_major(
             cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
                                  ids)
             if use_ck:
-                from ..ops.pallas.chunk_attention import fused_chunk_attend
-
-                out, ssum, ssq, last = fused_chunk_attend(
-                    q_c, cl.k, cl.v, cl.pos, ctx.q_pos,
-                    k_scale=cl.k_scale if cl.quantized else None,
-                    v_scale=cl.v_scale if cl.quantized else None,
-                    need_scores=spec is not None,
-                    interpret=flags.pallas_interpret(),
-                )
+                out, ssum, ssq, last = _chunk_attend(cl, q_c, ctx.q_pos,
+                                                     spec is not None)
                 if spec is not None:
                     cl = update_scores_reduced(cl, ssum, ssq, last, spec,
                                                ctx.update_gate, bootstrap=True)

@@ -328,3 +328,46 @@ def fused_chunk_attend(
         ssq[:, :, 0, :S],
         last[:, :, 0, :S],
     )
+
+
+def fused_chunk_attend_sharded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    kv_pos: jax.Array,
+    q_pos: jax.Array,
+    k_scale: jax.Array = None,
+    v_scale: jax.Array = None,
+    *,
+    mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    interpret: bool = False,
+    need_scores: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """fused_chunk_attend under a (data, model) mesh via shard_map: like the
+    decode kernel's sharded wrap (decode_attention.py), the (B, Hkv) grid
+    programs are fully independent, so the kernel partitions over batch
+    (data) and KV heads (model) with zero communication. Callers must ensure
+    even shards (B % data == 0, Hkv % model == 0)."""
+    from jax.sharding import PartitionSpec as P
+
+    d, m = data_axis, model_axis
+    p4 = P(d, m, None, None)
+    p3 = P(d, m, None)
+    quant = k_scale is not None
+
+    def fn(q_, k_, v_, pos_, qp_, *sc):
+        ks_, vs_ = sc if quant else (None, None)
+        return fused_chunk_attend(
+            q_, k_, v_, pos_, qp_, k_scale=ks_, v_scale=vs_,
+            interpret=interpret, need_scores=need_scores,
+        )
+
+    args = (q, k, v, kv_pos, q_pos) + ((k_scale, v_scale) if quant else ())
+    in_specs = (p4, p4, p4, p3, P(d, None)) + ((p3, p3) if quant else ())
+    out_specs = (p4, p3, p3, p3) if need_scores else (p4, None, None, None)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*args)

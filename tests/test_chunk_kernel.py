@@ -165,3 +165,41 @@ def test_fused_chunk_attend_int8_kv_flash_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(ssum),
                                np.asarray(jnp.sum(ref_probs, axis=2)),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("need_scores", [True, False])
+def test_fused_chunk_attend_sharded_matches_local(need_scores):
+    """shard_map wrap on a (2, 4) CPU mesh == direct kernel call (int8 KV)."""
+    from easykv_tpu.cache import quantize_kv
+    from easykv_tpu.config import MeshConfig
+    from easykv_tpu.ops.pallas.chunk_attention import (
+        fused_chunk_attend_sharded,
+    )
+    from easykv_tpu.parallel import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    B, Hkv, rep, C, S, D = 2, 4, 2, 8, 48, 128
+    Hq = Hkv * rep
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    kq, ks = quantize_kv(jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32))
+    vq, vs = quantize_kv(jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32))
+    pos = rng.integers(0, 60, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::5] = -1
+    pos[:, :, :C] = 60 + np.arange(C)
+    kv_pos = jnp.asarray(pos)
+    q_pos = jnp.broadcast_to(60 + jnp.arange(C, dtype=jnp.int32)[None, :], (B, C))
+
+    # q must group KV-head-major for the model-axis shard to be self-contained
+    ref = fused_chunk_attend(q, kq, vq, kv_pos, q_pos, k_scale=ks, v_scale=vs,
+                             interpret=True, need_scores=need_scores)
+    got = fused_chunk_attend_sharded(
+        q, kq, vq, kv_pos, q_pos, k_scale=ks, v_scale=vs, mesh=mesh,
+        interpret=True, need_scores=need_scores,
+    )
+    for r, g in zip(ref, got):
+        if r is None:
+            assert g is None
+            continue
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-5, rtol=1e-4)

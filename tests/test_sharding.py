@@ -243,3 +243,42 @@ def test_engine_generate_sharded_int4_matches_single_device():
     finally:
         flags.set_active_mesh(None)
     assert out == ref
+
+
+def test_engine_encode_sharded_chunk_kernel_matches_single_device(monkeypatch):
+    """generate(kv_mode='encoding') under an active (1, 4) TP mesh with the
+    fused chunk kernel on (shard_map dispatch, interpret mode on CPU)
+    produces the same greedy tokens as the unsharded XLA run. data=1 so the
+    B=1 engine batch keeps even shards (the kernel gate requires them)."""
+    import easykv_tpu.ops.pallas.chunk_attention as ca
+    from easykv_tpu import CausalLM, flags, generate
+
+    data, model = 1, 4
+    mc, mesh, cfg, params = _setup(data, model)
+    m = CausalLM(cfg, params, dtype="float32")
+    ids = np.random.default_rng(5).integers(1, 60, size=(56,))
+    gc = {"budget": 0.5, "kv_policy": "roco", "max_new_tokens": 8,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": [], "seed": 1}
+    ref = generate(m, ids, gc, kv_mode="encoding", stride=8)
+
+    calls = []
+    orig = ca.fused_chunk_attend_sharded
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(ca, "fused_chunk_attend_sharded", counting)
+    sp = shard_params(params, cfg, mc, mesh)
+    ms = CausalLM(cfg, sp, dtype="float32")
+    flags.set_active_mesh(mesh, mc.axis_data, mc.axis_model)
+    flags.use_pallas(True)
+    flags.use_chunk_kernel(True)
+    try:
+        out = generate(ms, ids, gc, kv_mode="encoding", stride=8)
+    finally:
+        flags.use_pallas(None)
+        flags.use_chunk_kernel(None)
+        flags.set_active_mesh(None)
+    assert calls, "sharded chunk kernel was not dispatched"
+    assert out == ref
