@@ -290,6 +290,123 @@ def write_tokens_at(
     )
 
 
+def write_tokens_dense(
+    cache: LayerCache,
+    new_k: jax.Array,        # (B, H, C, D)
+    new_v: jax.Array,        # (B, H, C, D)
+    new_pos: jax.Array,      # (B, C) int32
+    counter_init: jax.Array,  # (B, C) f32
+    ids: jax.Array,          # (B, H, C) int32 target slots, per head
+) -> LayerCache:
+    """write_tokens_at with the K/V scatter replaced by a one-hot MXU
+    contraction and the (S,) sidecar scatters collapsed into one stacked
+    scatter.
+
+    XLA lowers a TPU scatter to a serialized per-index loop; at 7B
+    layer-major encode shapes the 8 scatters of write_tokens_at cost
+    ~0.6 ms per chunk-layer iteration — 70% of the strided phase
+    (RESULTS.md "strided-encode ablation"). Here K/V ride a
+    (S,C)@(C,D) dot with a 0/1 matrix: exact, because each output row is
+    a single input row (int8 values <= 127 and bf16 cache values are
+    reproduced bit-exactly through a bf16-multiply/f32-accumulate dot;
+    f32 caches use an f32 dot). Sidecar vectors keep a real scatter for
+    bit-exact f32 scales, but all six (pos/counter/score/score_sq/
+    k_scale/v_scale) go in ONE op via an f32 stack (pos < 2^24 is exact
+    in f32).
+
+    Result is identical to write_tokens_at (asserted by
+    tests/test_cache_ops.py::test_write_tokens_dense_matches_at)."""
+    B, H, C, D = new_k.shape
+    S = cache.pos.shape[-1]
+    if cache.quantized:
+        qk, k_sc = quantize_kv(new_k)
+        qv, v_sc = quantize_kv(new_v)
+    else:
+        qk = new_k.astype(cache.k.dtype)
+        qv = new_v.astype(cache.v.dtype)
+
+    mdt = jnp.float32 if cache.k.dtype == jnp.float32 else jnp.bfloat16
+    iota = jnp.arange(S, dtype=jnp.int32)
+    eq = (ids[..., None] == iota).astype(mdt)            # (B, H, C, S)
+    wmask = jnp.max(eq, axis=2) > 0                      # (B, H, S)
+
+    def spread(vals):  # (B, H, C, D) -> (B, H, S, D), exact one-hot pick
+        out = jnp.einsum("bhcs,bhcd->bhsd", eq, vals.astype(mdt),
+                         preferred_element_type=jnp.float32)
+        return out.astype(cache.k.dtype)
+
+    k_new = jnp.where(wmask[..., None], spread(qk), cache.k)
+    v_new = jnp.where(wmask[..., None], spread(qv), cache.v)
+
+    # one stacked scatter for every (S,) sidecar
+    pos_bc = jnp.broadcast_to(new_pos[:, None, :], (B, H, C))
+    cnt_bc = jnp.broadcast_to(counter_init[:, None, :], (B, H, C))
+    zeros = jnp.zeros((B, H, C), jnp.float32)
+    planes = [pos_bc.astype(jnp.float32), cnt_bc, zeros, zeros]
+    tgts = [cache.pos.astype(jnp.float32), cache.counter, cache.score,
+            cache.score_sq]
+    if cache.quantized:
+        planes += [k_sc, v_sc]
+        tgts += [cache.k_scale, cache.v_scale]
+    n = len(planes)
+    stacked = jnp.stack(tgts, axis=2)                    # (B, H, n, S)
+    vals = jnp.stack(planes, axis=2)                     # (B, H, n, C)
+    b_ix = jnp.arange(B)[:, None, None, None]
+    h_ix = jnp.arange(H)[None, :, None, None]
+    n_ix = jnp.arange(n)[None, None, :, None]
+    stacked = stacked.at[b_ix, h_ix, n_ix, ids[:, :, None, :]].set(vals)
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        k_scale, v_scale = stacked[:, :, 4], stacked[:, :, 5]
+    return LayerCache(
+        k=k_new, v=v_new,
+        pos=stacked[:, :, 0].astype(jnp.int32),
+        score=stacked[:, :, 2],
+        score_sq=stacked[:, :, 3],
+        counter=stacked[:, :, 1],
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
+def write_tokens_slice(
+    cache: LayerCache,
+    new_k: jax.Array,        # (B, H, C, D)
+    new_v: jax.Array,        # (B, H, C, D)
+    new_pos: jax.Array,      # (B, C) int32
+    counter_init: jax.Array,  # (B, C) f32
+    start,                   # scalar int32: slot offset, same for all (B, H)
+) -> LayerCache:
+    """write_tokens_at for the contiguous case: all heads write slots
+    [start, start+C), so every update is a dynamic_update_slice — no
+    scatter at all. Used by the layer-major prefill, whose write targets
+    are always virgin slots at the chunk offset (token j -> slot j)."""
+    B, H, C, _ = new_k.shape
+    if cache.quantized:
+        qk, k_sc = quantize_kv(new_k)
+        qv, v_sc = quantize_kv(new_v)
+    else:
+        qk = new_k.astype(cache.k.dtype)
+        qv = new_v.astype(cache.v.dtype)
+    z = jnp.int32(0)
+    dus = jax.lax.dynamic_update_slice
+    pos_bc = jnp.broadcast_to(new_pos[:, None, :], (B, H, C))
+    cnt_bc = jnp.broadcast_to(counter_init[:, None, :], (B, H, C))
+    zeros = jnp.zeros((B, H, C), jnp.float32)
+    k_scale, v_scale = cache.k_scale, cache.v_scale
+    if cache.quantized:
+        k_scale = dus(k_scale, k_sc, (z, z, start))
+        v_scale = dus(v_scale, v_sc, (z, z, start))
+    return LayerCache(
+        k=dus(cache.k, qk, (z, z, start, z)),
+        v=dus(cache.v, qv, (z, z, start, z)),
+        pos=dus(cache.pos, pos_bc, (z, z, start)),
+        score=dus(cache.score, zeros, (z, z, start)),
+        score_sq=dus(cache.score_sq, zeros, (z, z, start)),
+        counter=dus(cache.counter, cnt_bc, (z, z, start)),
+        k_scale=k_scale, v_scale=v_scale,
+    )
+
+
 def evict_slots(
     cache: LayerCache, evict_ids: jax.Array, gate: Optional[jax.Array] = None
 ) -> LayerCache:

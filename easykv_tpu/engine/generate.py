@@ -956,7 +956,8 @@ def generate(
         sp=flags.sp_mesh(),
         tp=flags.active_mesh(),
         pallas=(flags.pallas_enabled(), flags.sidecar_enabled(),
-                flags.layer_major_enabled(), flags.chunk_kernel_mode()),
+                flags.layer_major_enabled(), flags.chunk_kernel_mode(),
+                flags.encode_unroll(), flags.dense_write_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

@@ -162,6 +162,30 @@ def layer_major_enabled() -> bool:
     return True
 
 
+def dense_write_enabled() -> bool:
+    """Use the one-hot-contraction cache write (cache.write_tokens_dense)
+    in the layer-major strided encode instead of the XLA scatter
+    (env EASYKV_TPU_DENSE_WRITE, default on). XLA lowers TPU scatters to a
+    serialized per-index loop — ~0.6 ms per chunk-layer at 7B encode
+    shapes, 70% of the strided phase (RESULTS.md "strided-encode
+    ablation")."""
+    import os
+
+    return os.environ.get("EASYKV_TPU_DENSE_WRITE", "1") not in (
+        "0", "false", "off")
+
+
+def encode_unroll() -> int:
+    """Unroll factor for the layer-major encode/prefill inner chunk scan
+    (env EASYKV_TPU_ENCODE_UNROLL, default 1). The inner scan is
+    dispatch-bound (~0.7 ms per chunk-layer iteration at 7B, RESULTS.md
+    "Layer-major encode"); unrolling lets XLA overlap consecutive chunks'
+    small ops at the cost of a bigger loop body."""
+    import os
+
+    return int(os.environ.get("EASYKV_TPU_ENCODE_UNROLL", "1"))
+
+
 def pallas_interpret() -> bool:
     """Pallas kernels need interpret mode off-TPU (CPU mesh tests)."""
     import jax

@@ -29,6 +29,8 @@ from ..cache import (
     quantize_kv,
     write_tokens,
     write_tokens_at,
+    write_tokens_dense,
+    write_tokens_slice,
 )
 from ..config import ModelConfig
 from ..ops.attention import attend, attend_inflight
@@ -43,12 +45,12 @@ from .. import flags  # noqa: E402
 from ..flags import pallas_enabled as _pallas_enabled  # noqa: E402
 from ..flags import use_pallas  # noqa: E402,F401
 
-# Fused chunk kernel: the original 2-pass flash variant measured SLOWER
-# than XLA's fused softmax+reduce encode path on v5e (1.1B: 8990 vs 9578;
-# 7B: 1915 vs 2360 prefill tok/s). A 1-pass whole-logits-in-VMEM variant
-# (ops/pallas/chunk_attention._onepass_kernel) avoids the QK recompute and
-# the probs HBM round-trip; toggle via flags.use_chunk_kernel /
-# EASYKV_TPU_CHUNK_KERNEL for A/B (RESULTS.md).
+# Fused chunk kernel (ops/pallas/chunk_attention): default 'auto' = on for
+# int8-KV caches, where it streams K/V at half the bytes with dequant folded
+# on-chip (+5% strided roco, +58% wide-chunk full prefill at 7B); on bf16 KV
+# it measured neutral-to-negative, so auto leaves XLA's fused attend there.
+# Toggle via flags.use_chunk_kernel / EASYKV_TPU_CHUNK_KERNEL (RESULTS.md
+# "Chunk-attention kernel A/B").
 
 
 class StepCtx(NamedTuple):
@@ -351,6 +353,9 @@ def strided_encode_layer_major(
         kc = k.reshape(B, Hkv, n, C, Dh).transpose(2, 0, 1, 3, 4)
         vc = v.reshape(B, Hkv, n, C, Dh).transpose(2, 0, 1, 3, 4)
 
+        write = (write_tokens_dense if flags.dense_write_enabled()
+                 else write_tokens_at)
+
         def chunk(carry, cxs):
             cl_t, wids = carry
             cl = LayerCache(*cl_t)
@@ -360,8 +365,7 @@ def strided_encode_layer_major(
             # (free_slot_ids-equivalent by the ring invariant — writes always
             # fill the lowest free slots, so the occupied region stays
             # [0, idx+stride) and evicted ids are always the lowest free).
-            cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
-                                 wids)
+            cl = write(cl, k_c, v_c, ctx.q_pos, ctx.counter_init, wids)
             if use_ck:
                 need = spec is not None and spec.policy in (
                     "h2o_head", "roco", "tova")
@@ -396,7 +400,8 @@ def strided_encode_layer_major(
         )
         (cl_t, _), outs = jax.lax.scan(
             chunk, (tuple(LayerCache(*cl0)), wids0), (qc, kc, vc, ctxs,
-                                                      write_start)
+                                                      write_start),
+            unroll=min(flags.encode_unroll(), n),
         )
         # (n, B, Hq, C, D) -> (B, T, Hq*D)
         attn_out = outs.transpose(1, 0, 3, 2, 4).reshape(B, T, Hq * Dh)
@@ -438,10 +443,6 @@ def prefill_layer_major(
     use_ck = _use_chunk_kernel(cfg, cache.k.shape[-2], C,
                                cache.k.dtype.itemsize, B)
     starts = jnp.arange(n, dtype=jnp.int32) * C
-    wids = jnp.broadcast_to(
-        (starts[:, None] + jnp.arange(C, dtype=jnp.int32))[:, None, None, :],
-        (n, B, Hkv, C),
-    )
 
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
 
@@ -457,9 +458,11 @@ def prefill_layer_major(
 
         def chunk(cl_t, cxs):
             cl = LayerCache(*cl_t)
-            q_c, k_c, v_c, ctx, ids = cxs
-            cl = write_tokens_at(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
-                                 ids)
+            q_c, k_c, v_c, ctx, start = cxs
+            # Prefill writes are always contiguous virgin slots at the chunk
+            # offset -> dynamic_update_slice, no scatter (write_tokens_slice).
+            cl = write_tokens_slice(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
+                                    start)
             if use_ck:
                 out, ssum, ssq, last = _chunk_attend(cl, q_c, ctx.q_pos,
                                                      spec is not None)
@@ -478,7 +481,8 @@ def prefill_layer_major(
             return tuple(cl), out
 
         cl_t, outs = jax.lax.scan(chunk, tuple(LayerCache(*cl0)),
-                                  (qc, kc, vc, ctxs, wids))
+                                  (qc, kc, vc, ctxs, starts),
+                                  unroll=min(flags.encode_unroll(), n))
         attn_out = outs.transpose(1, 0, 3, 2, 4).reshape(B, T, Hq * Dh)
         h = h + mm(attn_out, p["wo"])
         x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)

@@ -196,7 +196,13 @@ def fused_chunk_attend(
     scale = D ** -0.5
     quantized = k_scale is not None
 
-    S_pad = ((S + TILE_S - 1) // TILE_S) * TILE_S
+    # 1-pass kernel needs only lane alignment (S % 128, usually a no-op —
+    # the engine lane-aligns S); the 2-pass flash needs TILE_S multiples.
+    # Padding to TILE_S when S is already 128-aligned would copy the whole
+    # K/V buffer every call (the decode kernel's jnp.pad lesson, RESULTS.md).
+    S_128 = ((S + 127) // 128) * 128
+    onepass = _onepass_fits(rep * C, S_128, D, k.dtype.itemsize)
+    S_pad = S_128 if onepass else ((S + TILE_S - 1) // TILE_S) * TILE_S
     if S_pad != S:
         pad = [(0, 0), (0, 0), (0, S_pad - S), (0, 0)]
         k = jnp.pad(k, pad)
@@ -220,7 +226,7 @@ def fused_chunk_attend(
     def spec(shape, imap):
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
 
-    if _onepass_fits(rep * C, S_pad, D, k.dtype.itemsize):
+    if onepass:
         sc_specs = ([spec((1, 1, 1, S_pad), lambda b, h: (b, h, 0, 0))] * 2
                     if quantized else [])
         sc_args = (ks4, vs4) if quantized else ()

@@ -2,6 +2,7 @@
 gated merged eviction (reference truncate_kv_cache_liso_mean,
 easykv.py:84-102) and free-slot reuse."""
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from easykv_tpu.cache import (
@@ -144,3 +145,72 @@ def test_batched_encode_mixed_triggers_matches_oracle_rows():
         np.testing.assert_array_equal(np.asarray(kv2)[b], np.asarray(kv1)[0])
         np.testing.assert_array_equal(np.asarray(res2.out_ids)[b],
                                       np.asarray(res1.out_ids)[0])
+
+
+def _rand_cache(B, H, S, D, quantized, seed=3):
+    from easykv_tpu.cache import quantize_kv
+
+    rng = np.random.default_rng(seed)
+    k = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, H, S, D)).astype(np.float32))
+    pos = jnp.asarray(rng.integers(-1, 40, size=(B, H, S)).astype(np.int32))
+    f = lambda: jnp.asarray(rng.normal(size=(B, H, S)).astype(np.float32))
+    if quantized:
+        k, ks = quantize_kv(k)
+        v, vs = quantize_kv(v)
+    else:
+        ks = vs = jnp.zeros((B, H, 1), jnp.float32)
+    return LayerCache(k=k, v=v, pos=pos, score=f(), score_sq=f(),
+                      counter=f(), k_scale=ks, v_scale=vs)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_write_tokens_dense_matches_at(quantized):
+    """One-hot-contraction write == scatter write, bit-exact (f32 cache on
+    CPU; int8 values are exact through the f32-accumulating dot)."""
+    from easykv_tpu.cache import write_tokens_at, write_tokens_dense
+
+    B, H, S, C, D = 2, 3, 16, 4, 8
+    rng = np.random.default_rng(11)
+    cl = _rand_cache(B, H, S, D, quantized)
+    new_k = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    new_v = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    new_pos = jnp.asarray(rng.integers(40, 60, size=(B, C)).astype(np.int32))
+    cinit = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+    # per-head distinct, unsorted, unique ids
+    ids = np.stack([rng.choice(S, size=C, replace=False)
+                    for _ in range(B * H)]).reshape(B, H, C).astype(np.int32)
+    ids = jnp.asarray(ids)
+    ref = write_tokens_at(cl, new_k, new_v, new_pos, cinit, ids)
+    got = write_tokens_dense(cl, new_k, new_v, new_pos, cinit, ids)
+    for name in LayerCache._fields:
+        if name == "quantized":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_write_tokens_slice_matches_at(quantized):
+    from easykv_tpu.cache import write_tokens_at, write_tokens_slice
+
+    B, H, S, C, D = 2, 3, 16, 4, 8
+    rng = np.random.default_rng(12)
+    cl = _rand_cache(B, H, S, D, quantized)
+    new_k = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    new_v = jnp.asarray(rng.normal(size=(B, H, C, D)).astype(np.float32))
+    new_pos = jnp.asarray(rng.integers(40, 60, size=(B, C)).astype(np.int32))
+    cinit = jnp.asarray(rng.normal(size=(B, C)).astype(np.float32))
+    start = 5
+    ids = jnp.broadcast_to(jnp.arange(start, start + C, dtype=jnp.int32),
+                           (B, H, C))
+    ref = write_tokens_at(cl, new_k, new_v, new_pos, cinit, ids)
+    got = write_tokens_slice(cl, new_k, new_v, new_pos, cinit,
+                             jnp.int32(start))
+    for name in LayerCache._fields:
+        if name == "quantized":
+            continue
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
