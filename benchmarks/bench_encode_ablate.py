@@ -75,7 +75,7 @@ def main():
     spec = st.encode_spec()
     seed = jax.random.PRNGKey(0)
     prefix_len = jnp.full((B,), r_idx, jnp.int32)
-    PC = int(os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "1024"))
+    PC = int(os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "128"))
     A_pad = ((r_idx + PC - 1) // PC) * PC
     n_strided = length - r_idx
 

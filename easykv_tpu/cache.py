@@ -121,7 +121,11 @@ def quantize_kv(x: jax.Array):
     x: (B, H, C, D) -> (int8 (B, H, C, D), scale f32 (B, H, C))."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
+    # explicit reciprocal multiply: XLA strength-reduces /127.0 to *(1/127)
+    # in some fusion contexts but not others; writing the multiply keeps the
+    # scale bit-identical between this path and the fused Pallas kernel
+    # (ops/pallas/chunk_attention._wa_kernel), which quantizes in-kernel.
+    scale = jnp.maximum(amax, 1e-8) * jnp.float32(1.0 / 127.0)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
     return q, scale
 

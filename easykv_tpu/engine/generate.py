@@ -59,11 +59,12 @@ import os as _os
 # encoding-mode prefix [0:r_idx], ppl full-cache). Purely a performance
 # knob — no evictions happen inside the prefix, so any width is
 # semantics-preserving; peak memory for the per-layer attention probs grows
-# linearly with it. Default 1024, measured best for the layer-major prefill
-# (fewer dispatch-bound inner-scan iterations; benchmarks/bench_lm_parts.py
-# PC sweep at 7B int8-KV: roco-prefix 4009->5311 tok/s, full-prefix
-# 3418->3518 vs PC=128; 256/512 regress the large-S full case).
-PREFILL_CHUNK = int(_os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "1024"))
+# linearly with it. Default 128: after the slice-write + fused-kernel
+# rework the narrow chunk wins or ties every measured case (RESULTS.md
+# r2 sweeps — prefix 8482 vs 7761 tok/s at PC=1024, full-prefill 7393 vs
+# 7107; the old PC=1024 preference was an artifact of the scatter write's
+# per-chunk cost).
+PREFILL_CHUNK = int(_os.environ.get("EASYKV_TPU_PREFILL_CHUNK", "128"))
 
 
 def _round_up(x: int, m: int) -> int:

@@ -191,6 +191,35 @@ def _chunk_attend(cl, q_c, q_pos, need_scores: bool):
     return fused_chunk_attend(q_c, cl.k, cl.v, cl.pos, q_pos, **kw)
 
 
+def _chunk_write_attend(cl, q_c, k_c, v_c, q_pos, counter_init, ids,
+                        need_scores: bool):
+    """fused_chunk_write_attend (write + 1-pass attend in one kernel) with
+    mesh dispatch, returning (out, ssum, ssq, last, new LayerCache)."""
+    from ..ops.pallas.chunk_attention import (
+        fused_chunk_write_attend,
+        fused_chunk_write_attend_sharded,
+    )
+
+    kw = dict(
+        k_scale=cl.k_scale if cl.quantized else None,
+        v_scale=cl.v_scale if cl.quantized else None,
+        need_scores=need_scores, interpret=flags.pallas_interpret(),
+    )
+    args = (q_c, k_c, v_c, ids, q_pos, counter_init,
+            cl.k, cl.v, cl.pos, cl.score, cl.score_sq, cl.counter)
+    mi = flags.active_mesh()
+    if mi is not None and mi[0].size > 1:
+        res = fused_chunk_write_attend_sharded(
+            *args, mesh=mi[0], data_axis=mi[1], model_axis=mi[2], **kw)
+    else:
+        res = fused_chunk_write_attend(*args, **kw)
+    out, ssum, ssq, last = res[:4]
+    arrs = res[4]
+    scales = arrs[6:8] if cl.quantized else (cl.k_scale, cl.v_scale)
+    new_cl = LayerCache(*(arrs[:6] + tuple(scales)))
+    return out, ssum, ssq, last, new_cl
+
+
 def forward(
     params: Params,
     cfg: ModelConfig,
@@ -337,8 +366,17 @@ def strided_encode_layer_major(
     scale = cfg.head_dim ** -0.5
     evicting = spec is not None and spec.policy != "full"
     q_pos_flat = ctxs.q_pos.transpose(1, 0, 2).reshape(B, T)
-    use_ck = _use_chunk_kernel(cfg, cache.k.shape[-2], C,
-                               cache.k.dtype.itemsize, B)
+    S = cache.k.shape[-2]
+    use_ck = _use_chunk_kernel(cfg, S, C, cache.k.dtype.itemsize, B)
+    # Fused write+attend: one kernel pass for the whole chunk body (the
+    # scatter-write was 70% of the strided phase before the dense write;
+    # the fusion removes the separate write op and the extra K/V HBM pass).
+    rep = Hq // Hkv
+    from ..ops.pallas.chunk_attention import wa_fits
+
+    use_wa = (use_ck and S % 128 == 0
+              and wa_fits(rep * C, C, S, cfg.head_dim,
+                          cache.k.dtype.itemsize))
 
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
 
@@ -365,15 +403,23 @@ def strided_encode_layer_major(
             # (free_slot_ids-equivalent by the ring invariant — writes always
             # fill the lowest free slots, so the occupied region stays
             # [0, idx+stride) and evicted ids are always the lowest free).
-            cl = write(cl, k_c, v_c, ctx.q_pos, ctx.counter_init, wids)
-            if use_ck:
-                need = spec is not None and spec.policy in (
-                    "h2o_head", "roco", "tova")
+            need = spec is not None and spec.policy in (
+                "h2o_head", "roco", "tova")
+            if use_wa:
+                out, ssum, ssq, last, cl = _chunk_write_attend(
+                    cl, q_c, k_c, v_c, ctx.q_pos, ctx.counter_init, wids,
+                    need)
+                if need:
+                    cl = update_scores_reduced(cl, ssum, ssq, last, spec,
+                                               ctx.update_gate)
+            elif use_ck:
+                cl = write(cl, k_c, v_c, ctx.q_pos, ctx.counter_init, wids)
                 out, ssum, ssq, last = _chunk_attend(cl, q_c, ctx.q_pos, need)
                 if need:
                     cl = update_scores_reduced(cl, ssum, ssq, last, spec,
                                                ctx.update_gate)
             else:
+                cl = write(cl, k_c, v_c, ctx.q_pos, ctx.counter_init, wids)
                 k_raw, v_raw = kv_dequant(cl, q_c.dtype)
                 out, probs_kv = attend(
                     q_c, k_raw, v_raw, cl.pos, ctx.q_pos,

@@ -377,3 +377,274 @@ def fused_chunk_attend_sharded(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Fused write + attend: the strided-encode chunk body in ONE kernel pass.
+# ---------------------------------------------------------------------------
+
+_WA_VMEM_CAP = 12 * 1024 * 1024
+
+
+def wa_fits(rows: int, C: int, S: int, D: int, kv_bytes: int) -> bool:
+    """VMEM predicate for the fused write+attend kernel: K/V blocks in+out,
+    f32 logits/probs, the (C, S) one-hot, and one f32 (S, D) spread."""
+    S_pad = ((S + 127) // 128) * 128
+    kv = 4 * S_pad * D * kv_bytes            # K,V x in,out
+    work = 2 * rows * S_pad * 4              # logits + probs
+    onehot = C * S_pad * 4
+    spread = 2 * S_pad * D * 4
+    return kv + work + onehot + spread <= _WA_VMEM_CAP
+
+
+def _wa_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
+               k_ref, v_ref, pos_ref, score_ref, ssq_ref, cnt_ref, *rest,
+               scale, rep, C, need_scores, quantized, mdt):
+    """Fused chunk write + 1-pass attention (strided-encode inner body).
+
+    Writes the C incoming rows into the cached (S, D) K/V block in VMEM via
+    a one-hot (S,C)@(C,D) contraction (bit-exact with
+    cache.write_tokens_dense: int8 values <= 127 / bf16 values pass exactly
+    through a bf16-multiply/f32-accumulate dot; sidecar vectors use
+    eq*val max-reductions — exact for the nonnegative pos/counter/scale
+    values), then attends against the updated block — one kernel pass
+    instead of a scatter + a separate attention kernel, and the K/V block
+    crosses HBM once in each direction."""
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (out_ref, ssum_ref, ssqs_ref, last_ref,
+     ko_ref, vo_ref, poso_ref, scoreo_ref, ssqo_ref, cnto_ref) = rest[:10]
+    if quantized:
+        kso_ref, vso_ref = rest[10], rest[11]
+
+    ids = ids_ref[0, 0]                        # (1, C) int32
+    ids_col = ids.reshape(C, 1)
+    S = k_ref.shape[-2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)   # (1, S)
+    eqb = ids_col == iota                      # (C, S) one-hot bool
+    eqf = eqb.astype(jnp.float32)
+    wmask = jnp.max(eqf, axis=0, keepdims=True) > 0         # (1, S)
+    wm_col = wmask.astype(jnp.int32).reshape(S, 1) > 0      # (S, 1)
+
+    kc = kc_ref[0, 0].astype(jnp.float32)      # (C, D)
+    vc = vc_ref[0, 0].astype(jnp.float32)
+    if quantized:
+        # reciprocal multiply to match cache.quantize_kv bit-for-bit
+        r127 = jnp.float32(1.0 / 127.0)
+        k_amax = jnp.max(jnp.abs(kc), axis=-1, keepdims=True)
+        ksc = jnp.maximum(k_amax, 1e-8) * r127               # (C, 1)
+        kc = jnp.clip(jnp.round(kc / ksc), -127, 127)
+        v_amax = jnp.max(jnp.abs(vc), axis=-1, keepdims=True)
+        vsc = jnp.maximum(v_amax, 1e-8) * r127
+        vc = jnp.clip(jnp.round(vc / vsc), -127, 127)
+
+    eqm = eqf.astype(mdt)
+
+    def spread(rows):                          # (C, D) -> (S, D) one-hot pick
+        return jax.lax.dot_general(
+            eqm, rows.astype(mdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    k_old = k_ref[0, 0]
+    v_old = v_ref[0, 0]
+    k_new_f = jnp.where(wm_col, spread(kc), k_old.astype(jnp.float32))
+    v_new_f = jnp.where(wm_col, spread(vc), v_old.astype(jnp.float32))
+    ko_ref[0, 0] = k_new_f.astype(ko_ref.dtype)
+    vo_ref[0, 0] = v_new_f.astype(vo_ref.dtype)
+
+    def pick(vals_col):                        # (C, 1) nonneg -> (1, S)
+        return jnp.max(eqf * vals_col, axis=0, keepdims=True)
+
+    qp = qpos_ref[0, 0].reshape(rep * C, 1)    # (rep*C, 1) int32
+    qp_c = qp[:C].astype(jnp.float32)          # (C, 1) chunk positions
+    pos_new = jnp.where(wmask, pick(qp_c).astype(jnp.int32), pos_ref[0, 0])
+    poso_ref[0, 0] = pos_new
+    cnt_col = cinit_ref[0, 0].reshape(C, 1)
+    cnto_ref[0, 0] = jnp.where(wmask, pick(cnt_col), cnt_ref[0, 0])
+    scoreo_ref[0, 0] = jnp.where(wmask, 0.0, score_ref[0, 0])
+    ssqo_ref[0, 0] = jnp.where(wmask, 0.0, ssq_ref[0, 0])
+    if quantized:
+        ks_new = jnp.where(wmask, pick(ksc), ks_ref[0, 0])
+        vs_new = jnp.where(wmask, pick(vsc), vs_ref[0, 0])
+        kso_ref[0, 0] = ks_new
+        vso_ref[0, 0] = vs_new
+
+    # --- attend against the updated block (same math as _onepass_kernel) ---
+    q = q_ref[0, 0].astype(jnp.float32)        # (rep*C, D)
+    logits = jax.lax.dot_general(
+        q, k_new_f, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if quantized:
+        logits = logits * ks_new
+    mask = (pos_new >= 0) & (pos_new <= qp)
+    logits = jnp.where(mask, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.where(mask, jnp.exp(logits - m), 0.0)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    pv = p * vs_new if quantized else p
+    out = jax.lax.dot_general(
+        pv, v_new_f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+    if need_scores:
+        p_kv = jnp.mean(p.reshape(rep, C, S), axis=0)
+        ssum_ref[0, 0] = jnp.sum(p_kv, axis=0, keepdims=True)
+        ssqs_ref[0, 0] = jnp.sum(p_kv * p_kv, axis=0, keepdims=True)
+        last_ref[0, 0] = p_kv[C - 1 :, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
+def fused_chunk_write_attend(
+    q: jax.Array,         # (B, Hq, C, D)
+    k_c: jax.Array,       # (B, Hkv, C, D) incoming chunk, compute dtype
+    v_c: jax.Array,       # (B, Hkv, C, D)
+    ids: jax.Array,       # (B, Hkv, C) int32 target slots per head
+    q_pos: jax.Array,     # (B, C) int32
+    counter_init: jax.Array,  # (B, C) f32, nonnegative
+    k: jax.Array,         # (B, Hkv, S, D) cache, compute dtype or int8
+    v: jax.Array,
+    kv_pos: jax.Array,    # (B, Hkv, S)
+    score: jax.Array,     # (B, Hkv, S) f32
+    score_sq: jax.Array,
+    counter: jax.Array,
+    k_scale: jax.Array = None,  # (B, Hkv, S) f32 (int8 KV) or None
+    v_scale: jax.Array = None,
+    interpret: bool = False,
+    need_scores: bool = True,
+):
+    """One kernel pass for the strided-encode chunk body: write the chunk
+    into the cache (quantizing in-kernel for int8 KV) and attend against the
+    updated cache, emitting the reduced score statistics.
+
+    Returns (out (B,Hq,C,D), ssum, ssq, last (B,Hkv,S) or Nones,
+    (k, v, pos, score, score_sq, counter, k_scale, v_scale)) — the updated
+    cache arrays (aliased in-place with the inputs)."""
+    B, Hq, C, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    scale = D ** -0.5
+    quantized = k_scale is not None
+    assert S % 128 == 0, "fused write+attend requires lane-aligned S"
+    mdt = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
+
+    qg = q.reshape(B, Hkv, rep * C, D)
+    qpos_rows = jnp.tile(q_pos, (1, rep))[:, None, None, :]   # (B,1,1,rep*C)
+    cinit4 = counter_init[:, None, None, :]                   # (B,1,1,C)
+    ids4 = ids[:, :, None, :]                                 # (B,Hkv,1,C)
+    pos4 = kv_pos[:, :, None, :]
+    sc4 = score[:, :, None, :]
+    sq4 = score_sq[:, :, None, :]
+    cn4 = counter[:, :, None, :]
+    if quantized:
+        ks4 = k_scale.astype(jnp.float32)[:, :, None, :]
+        vs4 = v_scale.astype(jnp.float32)[:, :, None, :]
+
+    def spec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    bh = lambda b, h: (b, h, 0, 0)
+    b0 = lambda b, h: (b, 0, 0, 0)
+    sKD = spec((1, 1, S, D), bh)
+    sS = spec((1, 1, 1, S), bh)
+    sC = spec((1, 1, 1, C), bh)
+
+    in_arrs = [qg, k_c, v_c, ids4, qpos_rows, cinit4,
+               k, v, pos4, sc4, sq4, cn4]
+    in_specs = [spec((1, 1, rep * C, D), bh), spec((1, 1, C, D), bh),
+                spec((1, 1, C, D), bh), sC,
+                spec((1, 1, 1, rep * C), b0), spec((1, 1, 1, C), b0),
+                sKD, sKD, sS, sS, sS, sS]
+    if quantized:
+        in_arrs += [ks4, vs4]
+        in_specs += [sS, sS]
+
+    out_specs = [spec((1, 1, rep * C, D), bh), sS, sS, sS,
+                 sKD, sKD, sS, sS, sS, sS]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Hkv, rep * C, D), q.dtype),
+        jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+        jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+        jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+        jax.ShapeDtypeStruct(pos4.shape, jnp.int32),
+        jax.ShapeDtypeStruct(sc4.shape, jnp.float32),
+        jax.ShapeDtypeStruct(sq4.shape, jnp.float32),
+        jax.ShapeDtypeStruct(cn4.shape, jnp.float32),
+    ]
+    # cache arrays update in place: input i -> output i - 2 (k starts at
+    # input 6 / output 4)
+    aliases = {6: 4, 7: 5, 8: 6, 9: 7, 10: 8, 11: 9}
+    if quantized:
+        out_specs += [sS, sS]
+        out_shape += [jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(vs4.shape, jnp.float32)]
+        aliases.update({12: 10, 13: 11})
+
+    res = pl.pallas_call(
+        functools.partial(_wa_kernel, scale=scale, rep=rep, C=C,
+                          need_scores=need_scores, quantized=quantized,
+                          mdt=mdt),
+        grid=(B, Hkv),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*in_arrs)
+    out, ssum, ssq, last = res[0], res[1], res[2], res[3]
+    k_n, v_n, pos_n, sc_n, sq_n, cn_n = res[4:10]
+    out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
+    stats = ((ssum[:, :, 0, :], ssq[:, :, 0, :], last[:, :, 0, :])
+             if need_scores else (None, None, None))
+    cache_arrs = (k_n, v_n, pos_n[:, :, 0, :], sc_n[:, :, 0, :],
+                  sq_n[:, :, 0, :], cn_n[:, :, 0, :])
+    if quantized:
+        cache_arrs += (res[10][:, :, 0, :], res[11][:, :, 0, :])
+    return (out,) + stats + (cache_arrs,)
+
+
+def fused_chunk_write_attend_sharded(
+    q, k_c, v_c, ids, q_pos, counter_init,
+    k, v, kv_pos, score, score_sq, counter,
+    k_scale=None, v_scale=None, *,
+    mesh, data_axis: str = "data", model_axis: str = "model",
+    interpret: bool = False, need_scores: bool = True,
+):
+    """fused_chunk_write_attend under a (data, model) mesh via shard_map —
+    (B, Hkv) grid programs are independent, zero communication (same
+    contract as fused_chunk_attend_sharded: even shards required)."""
+    from jax.sharding import PartitionSpec as P
+
+    d, m = data_axis, model_axis
+    p4 = P(d, m, None, None)
+    p3 = P(d, m, None)
+    pB = P(d, None)
+    quant = k_scale is not None
+
+    def fn(q_, kc_, vc_, ids_, qp_, ci_, k_, v_, pos_, sc_, sq_, cn_, *sc2):
+        ks_, vs_ = sc2 if quant else (None, None)
+        return fused_chunk_write_attend(
+            q_, kc_, vc_, ids_, qp_, ci_, k_, v_, pos_, sc_, sq_, cn_,
+            k_scale=ks_, v_scale=vs_, interpret=interpret,
+            need_scores=need_scores,
+        )
+
+    args = (q, k_c, v_c, ids, q_pos, counter_init,
+            k, v, kv_pos, score, score_sq, counter)
+    in_specs = (p4, p4, p4, p3, pB, pB, p4, p4, p3, p3, p3, p3)
+    if quant:
+        args += (k_scale, v_scale)
+        in_specs += (p3, p3)
+    stats = (p3, p3, p3) if need_scores else (None, None, None)
+    cache_specs = (p4, p4, p3, p3, p3, p3) + ((p3, p3) if quant else ())
+    out_specs = (p4,) + stats + (cache_specs,)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*args)

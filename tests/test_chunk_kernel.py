@@ -203,3 +203,114 @@ def test_fused_chunk_attend_sharded_matches_local(need_scores):
             continue
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quantized", [True, False])
+def test_fused_write_attend_matches_write_then_attend(quantized):
+    """fused_chunk_write_attend == write_tokens_dense + fused_chunk_attend,
+    bit-exact on CPU interpret (cache arrays AND attention outputs)."""
+    from easykv_tpu.cache import LayerCache, quantize_kv, write_tokens_dense
+    from easykv_tpu.ops.pallas.chunk_attention import (
+        fused_chunk_attend,
+        fused_chunk_write_attend,
+    )
+
+    B, Hkv, rep, C, S, D = 2, 3, 2, 8, 128, 64
+    Hq = Hkv * rep
+    rng = np.random.default_rng(21)
+    kf = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    if quantized:
+        k, ks = quantize_kv(kf)
+        v, vs = quantize_kv(vf)
+    else:
+        k, v = kf, vf
+        ks = vs = jnp.zeros((B, Hkv, 1), jnp.float32)
+    pos = rng.integers(0, 50, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::3] = -1
+    f3 = lambda: jnp.asarray(
+        np.abs(rng.normal(size=(B, Hkv, S))).astype(np.float32))
+    cl = LayerCache(k=k, v=v, pos=jnp.asarray(pos), score=f3(),
+                    score_sq=f3(), counter=f3(), k_scale=ks, v_scale=vs)
+
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    k_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    v_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    q_pos = jnp.broadcast_to(50 + jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+    cinit = jnp.asarray(np.abs(rng.normal(size=(B, C))).astype(np.float32))
+    ids = np.stack([rng.choice(S, size=C, replace=False)
+                    for _ in range(B * Hkv)]).reshape(B, Hkv, C).astype(
+                        np.int32)
+    ids = jnp.asarray(ids)
+
+    ref_cl = write_tokens_dense(cl, k_c, v_c, q_pos, cinit, ids)
+    ref = fused_chunk_attend(
+        q, ref_cl.k, ref_cl.v, ref_cl.pos, q_pos,
+        k_scale=ref_cl.k_scale if quantized else None,
+        v_scale=ref_cl.v_scale if quantized else None,
+        interpret=True, need_scores=True)
+
+    got = fused_chunk_write_attend(
+        q, k_c, v_c, ids, q_pos, cinit,
+        cl.k, cl.v, cl.pos, cl.score, cl.score_sq, cl.counter,
+        k_scale=cl.k_scale if quantized else None,
+        v_scale=cl.v_scale if quantized else None,
+        interpret=True, need_scores=True)
+    out, ssum, ssq, last = got[:4]
+    cache_arrs = got[4]
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]),
+                               atol=2e-6, rtol=1e-5)
+    for g, r in zip((ssum, ssq, last), ref[1:]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=2e-6, rtol=1e-5)
+    names = ["k", "v", "pos", "score", "score_sq", "counter"] + (
+        ["k_scale", "v_scale"] if quantized else [])
+    for name, g in zip(names, cache_arrs):
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.asarray(getattr(ref_cl, name)),
+                                      err_msg=name)
+
+
+def test_fused_write_attend_sharded_matches_local():
+    from easykv_tpu.cache import LayerCache, quantize_kv
+    from easykv_tpu.config import MeshConfig
+    from easykv_tpu.ops.pallas.chunk_attention import (
+        fused_chunk_write_attend,
+        fused_chunk_write_attend_sharded,
+    )
+    from easykv_tpu.parallel import make_mesh
+
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    B, Hkv, rep, C, S, D = 2, 4, 2, 8, 128, 64
+    Hq = Hkv * rep
+    rng = np.random.default_rng(31)
+    k, ks = quantize_kv(jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32))
+    v, vs = quantize_kv(jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32))
+    pos = rng.integers(0, 50, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::4] = -1
+    f3 = lambda: jnp.asarray(
+        np.abs(rng.normal(size=(B, Hkv, S))).astype(np.float32))
+    score, ssq0, cnt = f3(), f3(), f3()
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    k_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    v_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    q_pos = jnp.broadcast_to(50 + jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+    cinit = jnp.asarray(np.abs(rng.normal(size=(B, C))).astype(np.float32))
+    ids = np.stack([rng.choice(S, size=C, replace=False)
+                    for _ in range(B * Hkv)]).reshape(B, Hkv, C).astype(np.int32)
+    ids = jnp.asarray(ids)
+
+    args = (q, k_c, v_c, ids, q_pos, cinit, k, v, jnp.asarray(pos),
+            score, ssq0, cnt)
+    ref = fused_chunk_write_attend(*args, k_scale=ks, v_scale=vs,
+                                   interpret=True)
+    got = fused_chunk_write_attend_sharded(*args, k_scale=ks, v_scale=vs,
+                                           mesh=mesh, interpret=True)
+
+    def flat(t):
+        return [x for x in jax.tree_util.tree_leaves(t)]
+
+    for g, r in zip(flat(got), flat(ref)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-6, rtol=1e-6)
