@@ -958,7 +958,8 @@ def generate(
         tp=flags.active_mesh(),
         pallas=(flags.pallas_enabled(), flags.sidecar_enabled(),
                 flags.layer_major_enabled(), flags.chunk_kernel_mode(),
-                flags.encode_unroll(), flags.dense_write_enabled()),
+                flags.encode_unroll(), flags.dense_write_enabled(),
+                flags.step_kernel_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

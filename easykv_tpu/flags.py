@@ -175,6 +175,18 @@ def dense_write_enabled() -> bool:
         "0", "false", "off")
 
 
+def step_kernel_enabled() -> bool:
+    """Opt-in full-step encode fusion (write+attend+score+evict in one
+    kernel, ops/pallas/chunk_attention.fused_chunk_step). Default OFF:
+    measured slower than write+attend fusion + batched XLA eviction at 7B
+    shapes — the per-(B,H)-program kth-smallest bisection is serial while
+    XLA's eviction batches over heads (RESULTS.md "fused-step A/B")."""
+    import os
+
+    return os.environ.get("EASYKV_TPU_STEP_KERNEL", "0") not in (
+        "0", "false", "off")
+
+
 def encode_unroll() -> int:
     """Unroll factor for the layer-major encode/prefill inner chunk scan
     (env EASYKV_TPU_ENCODE_UNROLL, default 1). The inner scan is

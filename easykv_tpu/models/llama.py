@@ -220,6 +220,38 @@ def _chunk_write_attend(cl, q_c, k_c, v_c, q_pos, counter_init, ids,
     return out, ssum, ssq, last, new_cl
 
 
+def _chunk_step(cl, q_c, k_c, v_c, ctx: StepCtx, wm, next_start, spec,
+                B: int):
+    """fused_chunk_step (write + attend + score update + evict in one
+    kernel) with mesh dispatch. Returns (out, new LayerCache, next write
+    mask)."""
+    from ..ops.pallas.chunk_attention import (
+        fused_chunk_step,
+        fused_chunk_step_sharded,
+    )
+
+    ug = jnp.broadcast_to(jnp.atleast_1d(ctx.update_gate), (B,))
+    eg = jnp.broadcast_to(jnp.atleast_1d(ctx.evict_gate), (B,))
+    kw = dict(
+        k_scale=cl.k_scale if cl.quantized else None,
+        v_scale=cl.v_scale if cl.quantized else None,
+        policy=spec.policy, feasible_k=spec.feasible_k,
+        sink=spec.sink_length, recent_window=spec.recent_window,
+        interpret=flags.pallas_interpret(),
+    )
+    args = (q_c, k_c, v_c, wm, ctx.q_pos, ctx.counter_init, ug, eg,
+            ctx.next_pos, next_start, cl.k, cl.v, cl.pos, cl.score,
+            cl.score_sq, cl.counter)
+    mi = flags.active_mesh()
+    if mi is not None and mi[0].size > 1:
+        out, arrs, wm_next = fused_chunk_step_sharded(
+            *args, mesh=mi[0], data_axis=mi[1], model_axis=mi[2], **kw)
+    else:
+        out, arrs, wm_next = fused_chunk_step(*args, **kw)
+    scales = arrs[6:8] if cl.quantized else (cl.k_scale, cl.v_scale)
+    return out, LayerCache(*(arrs[:6] + tuple(scales))), wm_next
+
+
 def forward(
     params: Params,
     cfg: ModelConfig,
@@ -377,6 +409,16 @@ def strided_encode_layer_major(
     use_wa = (use_ck and S % 128 == 0
               and wa_fits(rep * C, C, S, cfg.head_dim,
                           cache.k.dtype.itemsize))
+    # Full-step fusion (write + attend + score update + evict in one
+    # kernel): roco / h2o_head only — tova's encode update needs a
+    # cross-head mean, recency/random need rank spans. MEASURED SLOWER than
+    # write+attend fusion + batched XLA eviction at 7B (strided 0.488 vs
+    # 0.361 s: the 31-step kth-smallest bisection is serial per (B, H)
+    # program, while the XLA evict batches it over all heads — RESULTS.md
+    # "fused-step A/B"); opt-in via EASYKV_TPU_STEP_KERNEL=1.
+    use_step = (use_wa and evicting and spec.k == C
+                and spec.policy in ("roco", "h2o_head")
+                and flags.step_kernel_enabled())
 
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
 
@@ -405,6 +447,13 @@ def strided_encode_layer_major(
             # [0, idx+stride) and evicted ids are always the lowest free).
             need = spec is not None and spec.policy in (
                 "h2o_head", "roco", "tova")
+            if use_step:
+                # wids carries the write MASK (B, Hkv, S); the kernel does
+                # write + attend + score update + evict and emits the next
+                # chunk's mask.
+                out, cl, wids = _chunk_step(cl, q_c, k_c, v_c, ctx, wids,
+                                            wstart + C, spec, B)
+                return (tuple(cl), wids), out
             if use_wa:
                 out, ssum, ssq, last, cl = _chunk_write_attend(
                     cl, q_c, k_c, v_c, ctx.q_pos, ctx.counter_init, wids,
@@ -440,10 +489,17 @@ def strided_encode_layer_major(
                 wids = contig
             return (tuple(cl), wids), out
 
-        wids0 = jnp.broadcast_to(
-            write_start[0][:, None, None] + jnp.arange(C, dtype=jnp.int32),
-            (B, Hkv, C),
-        )
+        if use_step:
+            iota_s = jnp.arange(S, dtype=jnp.int32)[None, :]
+            w0 = ((iota_s >= write_start[0][:, None]) &
+                  (iota_s < write_start[0][:, None] + C))
+            wids0 = jnp.broadcast_to(w0[:, None, :], (B, Hkv, S)).astype(
+                jnp.int32)
+        else:
+            wids0 = jnp.broadcast_to(
+                write_start[0][:, None, None] + jnp.arange(C, dtype=jnp.int32),
+                (B, Hkv, C),
+            )
         (cl_t, _), outs = jax.lax.scan(
             chunk, (tuple(LayerCache(*cl0)), wids0), (qc, kc, vc, ctxs,
                                                       write_start),

@@ -648,3 +648,358 @@ def fused_chunk_write_attend_sharded(
         fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Fused full chunk step: write + attend + score update + eviction in ONE
+# kernel pass (roco / h2o_head strided encoding).
+# ---------------------------------------------------------------------------
+
+STD_FORCE = 1e9       # policies.STD_FORCE
+STD_EXCLUDE = 1e30    # policies.STD_EXCLUDE
+ROCO_STD_GUARD = 10   # policies.ROCO_STD_GUARD
+
+STEP_POLICIES = ("roco", "h2o_head")
+
+
+def _cumsum_lanes(x):
+    """Inclusive prefix sum along the lane axis of a (1, S) int32 vector —
+    log-step shift-adds (Mosaic has no cumsum lowering)."""
+    S = x.shape[-1]
+    step = 1
+    while step < S:
+        shifted = jnp.concatenate(
+            [jnp.zeros((1, step), x.dtype), x[:, : S - step]], axis=1)
+        x = x + shifted
+        step *= 2
+    return x
+
+
+def _kth_smallest_pos_f32(vals, k):
+    """Exact k-th smallest of NON-NEGATIVE f32 (NaN sorts last, like XLA's
+    total-order sort) along the last axis via 31-step int-bisection on the
+    bit pattern (non-negative f32 order == int32 order). Returns (..., 1)
+    f32 — bit-identical to policies._kth_smallest on non-negative input."""
+    bits = jax.lax.bitcast_convert_type(vals.astype(jnp.float32), jnp.int32)
+
+    def body(i, prefix):
+        cand = prefix | jax.lax.shift_left(jnp.int32(1), 30 - i)
+        cnt = jnp.sum((bits < cand).astype(jnp.int32), axis=-1, keepdims=True)
+        return jnp.where(cnt >= k, prefix, cand)
+
+    kth = jax.lax.fori_loop(0, 31, body, jnp.zeros_like(bits[..., :1]))
+    return jax.lax.bitcast_convert_type(kth, jnp.float32)
+
+
+def _select_smallest_mask(vals, cand, k):
+    """Boolean mask of the k smallest `vals` where `cand` (1, S), ties at
+    the threshold filled in ascending slot order — the exact selection set
+    and tie order of policies._smallest_k's stable sort."""
+    masked = jnp.where(cand, vals, jnp.float32(jnp.inf))
+    thresh = _kth_smallest_pos_f32(masked, k)
+    below = masked < thresh
+    at = masked == thresh
+    need = k - jnp.sum(below.astype(jnp.int32), axis=-1, keepdims=True)
+    fill_rank = _cumsum_lanes(at.astype(jnp.int32)) - 1
+    return below | (at & (fill_rank < need))
+
+
+def _step_kernel(q_ref, kc_ref, vc_ref, wm_ref, qpos_ref, cinit_ref,
+                 iparams_ref,
+                 k_ref, v_ref, pos_ref, score_ref, ssq_ref, cnt_ref, *rest,
+                 scale, rep, C, quantized, mdt, policy, feasible_k,
+                 sink, recent_window):
+    """Whole strided-encode chunk body for one (batch, kv-head):
+
+      write chunk rows at the carried mask's slots (rank r -> row r) ->
+      1-pass attention over the updated block -> gated score update
+      (roco: +sum p, +sum p^2; h2o: +sum p) -> gated eviction (counter
+      bump, policy selection via exact kth-threshold + stable tie fill,
+      slot invalidation) -> emit the next chunk's write mask (evicted
+      slots, or the next contiguous window when no event fired).
+
+    Selection semantics are bit-identical to policies.select_evictions for
+    the encode phase (same masked values, same kth threshold from the bit
+    bisection, same first-occurrence tie order)."""
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (out_ref, ko_ref, vo_ref, poso_ref, scoreo_ref, ssqo_ref, cnto_ref
+     ) = rest[:7]
+    rest = rest[7:]
+    if quantized:
+        kso_ref, vso_ref = rest[0], rest[1]
+        rest = rest[2:]
+    wmo_ref = rest[0]
+
+    b = pl.program_id(0)
+    g_upd = iparams_ref[b, 0] != 0
+    g_evt = iparams_ref[b, 1] != 0
+    next_pos = iparams_ref[b, 2]
+    next_start = iparams_ref[b, 3]
+
+    S = k_ref.shape[-2]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)    # (1, S)
+    wm_in = wm_ref[0, 0] != 0                                 # (1, S)
+    # rank-r masked slot receives chunk row r
+    ranks = _cumsum_lanes(wm_in.astype(jnp.int32)) - 1        # (1, S)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    eqb = wm_in & (ranks == rows)                             # (C, S)
+    eqf = eqb.astype(jnp.float32)
+    wmask = wm_in
+    wm_col = wm_in.astype(jnp.int32).reshape(S, 1) > 0
+
+    kc = kc_ref[0, 0].astype(jnp.float32)
+    vc = vc_ref[0, 0].astype(jnp.float32)
+    if quantized:
+        r127 = jnp.float32(1.0 / 127.0)
+        ksc = jnp.maximum(jnp.max(jnp.abs(kc), axis=-1, keepdims=True),
+                          1e-8) * r127
+        kc = jnp.clip(jnp.round(kc / ksc), -127, 127)
+        vsc = jnp.maximum(jnp.max(jnp.abs(vc), axis=-1, keepdims=True),
+                          1e-8) * r127
+        vc = jnp.clip(jnp.round(vc / vsc), -127, 127)
+
+    eqm = eqf.astype(mdt)
+
+    def spread(rows_cd):
+        return jax.lax.dot_general(
+            eqm, rows_cd.astype(mdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    k_new_f = jnp.where(wm_col, spread(kc), k_ref[0, 0].astype(jnp.float32))
+    v_new_f = jnp.where(wm_col, spread(vc), v_ref[0, 0].astype(jnp.float32))
+    ko_ref[0, 0] = k_new_f.astype(ko_ref.dtype)
+    vo_ref[0, 0] = v_new_f.astype(vo_ref.dtype)
+
+    def pick(vals_col):
+        return jnp.max(eqf * vals_col, axis=0, keepdims=True)
+
+    qp = qpos_ref[0, 0].reshape(rep * C, 1)
+    qp_c = qp[:C].astype(jnp.float32)
+    pos = jnp.where(wmask, pick(qp_c).astype(jnp.int32), pos_ref[0, 0])
+    cnt_col = cinit_ref[0, 0].reshape(C, 1)
+    counter = jnp.where(wmask, pick(cnt_col), cnt_ref[0, 0])
+    score = jnp.where(wmask, 0.0, score_ref[0, 0])
+    ssq = jnp.where(wmask, 0.0, ssq_ref[0, 0])
+    if quantized:
+        ks_new = jnp.where(wmask, pick(ksc), ks_ref[0, 0])
+        vs_new = jnp.where(wmask, pick(vsc), vs_ref[0, 0])
+        kso_ref[0, 0] = ks_new
+        vso_ref[0, 0] = vs_new
+
+    # --- attend ---
+    q = q_ref[0, 0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k_new_f, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if quantized:
+        logits = logits * ks_new
+    amask = (pos >= 0) & (pos <= qp)
+    logits = jnp.where(amask, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    e = jnp.where(amask, jnp.exp(logits - m), 0.0)
+    p = e / jnp.maximum(jnp.sum(e, axis=-1, keepdims=True), 1e-30)
+    pv = p * vs_new if quantized else p
+    out = jax.lax.dot_general(
+        pv, v_new_f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+    # --- gated score update (policies.update_scores_reduced) ---
+    p_kv = jnp.mean(p.reshape(rep, C, S), axis=0)             # (C, S)
+    gf = g_upd.astype(jnp.float32)
+    score = score + jnp.sum(p_kv, axis=0, keepdims=True) * gf
+    if policy == "roco":
+        ssq = ssq + jnp.sum(p_kv * p_kv, axis=0, keepdims=True) * gf
+
+    # --- gated eviction (policies.evict_layer, encode phase) ---
+    counter = counter + jnp.float32(C) * g_evt.astype(jnp.float32)
+    base = pos >= 0
+    if policy == "roco":
+        mean = score / counter
+        var = ssq / counter - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        forced = (pos >= next_pos - ROCO_STD_GUARD) | (pos < sink)
+        force_val = jnp.float32(STD_FORCE) + pos.astype(jnp.float32) * 1024.0
+        std = jnp.where(forced, force_val, std)
+        std = jnp.where(base, std, jnp.float32(STD_EXCLUDE))
+        thresh = _kth_smallest_pos_f32(std, feasible_k)
+        feasible = std <= thresh
+        emask = _select_smallest_mask(mean, feasible, C)
+    else:  # h2o_head
+        cand = base & (pos >= sink) & (pos < next_pos - recent_window)
+        emask = _select_smallest_mask(score, cand, C)
+    emask = emask & g_evt
+    pos = jnp.where(emask, -1, pos)
+
+    poso_ref[0, 0] = pos
+    scoreo_ref[0, 0] = score
+    ssqo_ref[0, 0] = ssq
+    cnto_ref[0, 0] = counter
+    contig = (iota >= next_start) & (iota < next_start + C)
+    # int32 select: Mosaic cannot legalize arith.select on i1 vectors
+    wmo_ref[0, 0] = jnp.where(g_evt, emask.astype(jnp.int32),
+                              contig.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "interpret", "policy", "feasible_k", "sink", "recent_window"))
+def fused_chunk_step(
+    q: jax.Array,          # (B, Hq, C, D)
+    k_c: jax.Array,        # (B, Hkv, C, D)
+    v_c: jax.Array,        # (B, Hkv, C, D)
+    write_mask: jax.Array,  # (B, Hkv, S) int32/bool: this chunk's slots
+    q_pos: jax.Array,      # (B, C) int32
+    counter_init: jax.Array,  # (B, C) f32 nonnegative
+    update_gate: jax.Array,   # (B,) bool
+    evict_gate: jax.Array,    # (B,) bool
+    next_pos: jax.Array,      # (B,) int32
+    next_start: jax.Array,    # (B,) int32: next contiguous window start
+    k: jax.Array, v: jax.Array, kv_pos: jax.Array,
+    score: jax.Array, score_sq: jax.Array, counter: jax.Array,
+    k_scale: jax.Array = None, v_scale: jax.Array = None,
+    *, policy: str, feasible_k: int = 0, sink: int = 0,
+    recent_window: int = 0, interpret: bool = False,
+):
+    """Entire strided-encode chunk body in one kernel (write + attend +
+    score update + eviction). Returns (out (B,Hq,C,D),
+    (k, v, pos, score, score_sq, counter[, k_scale, v_scale]) updated
+    in place, next write_mask (B,Hkv,S) int32)."""
+    assert policy in STEP_POLICIES
+    B, Hq, C, D = q.shape
+    Hkv, S = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    scale = D ** -0.5
+    quantized = k_scale is not None
+    assert S % 128 == 0
+    mdt = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
+
+    qg = q.reshape(B, Hkv, rep * C, D)
+    qpos_rows = jnp.tile(q_pos, (1, rep))[:, None, None, :]
+    cinit4 = counter_init[:, None, None, :]
+    wm4 = write_mask.astype(jnp.int32)[:, :, None, :]
+    pos4 = kv_pos[:, :, None, :]
+    sc4 = score[:, :, None, :]
+    sq4 = score_sq[:, :, None, :]
+    cn4 = counter[:, :, None, :]
+    iparams = jnp.stack([
+        update_gate.astype(jnp.int32), evict_gate.astype(jnp.int32),
+        next_pos.astype(jnp.int32), next_start.astype(jnp.int32),
+    ], axis=1)                                            # (B, 4)
+    if quantized:
+        ks4 = k_scale.astype(jnp.float32)[:, :, None, :]
+        vs4 = v_scale.astype(jnp.float32)[:, :, None, :]
+
+    def spec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    bh = lambda b, h: (b, h, 0, 0)
+    b0 = lambda b, h: (b, 0, 0, 0)
+    sKD = spec((1, 1, S, D), bh)
+    sS = spec((1, 1, 1, S), bh)
+
+    in_arrs = [qg, k_c, v_c, wm4, qpos_rows, cinit4, iparams,
+               k, v, pos4, sc4, sq4, cn4]
+    in_specs = [spec((1, 1, rep * C, D), bh), spec((1, 1, C, D), bh),
+                spec((1, 1, C, D), bh), sS,
+                spec((1, 1, 1, rep * C), b0), spec((1, 1, 1, C), b0),
+                pl.BlockSpec((B, 4), lambda b, h: (0, 0),
+                             memory_space=pltpu.VMEM),
+                sKD, sKD, sS, sS, sS, sS]
+    if quantized:
+        in_arrs += [ks4, vs4]
+        in_specs += [sS, sS]
+
+    out_specs = [spec((1, 1, rep * C, D), bh),
+                 sKD, sKD, sS, sS, sS, sS]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, Hkv, rep * C, D), q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+        jax.ShapeDtypeStruct(pos4.shape, jnp.int32),
+        jax.ShapeDtypeStruct(sc4.shape, jnp.float32),
+        jax.ShapeDtypeStruct(sq4.shape, jnp.float32),
+        jax.ShapeDtypeStruct(cn4.shape, jnp.float32),
+    ]
+    aliases = {7: 1, 8: 2, 9: 3, 10: 4, 11: 5, 12: 6}
+    if quantized:
+        out_specs += [sS, sS]
+        out_shape += [jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+                      jax.ShapeDtypeStruct(vs4.shape, jnp.float32)]
+        aliases.update({13: 7, 14: 8})
+    out_specs += [sS]
+    out_shape += [jax.ShapeDtypeStruct(wm4.shape, jnp.int32)]
+
+    res = pl.pallas_call(
+        functools.partial(_step_kernel, scale=scale, rep=rep, C=C,
+                          quantized=quantized, mdt=mdt, policy=policy,
+                          feasible_k=feasible_k, sink=sink,
+                          recent_window=recent_window),
+        grid=(B, Hkv),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*in_arrs)
+    out = res[0].reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
+    k_n, v_n, pos_n, sc_n, sq_n, cn_n = res[1:7]
+    cache_arrs = (k_n, v_n, pos_n[:, :, 0, :], sc_n[:, :, 0, :],
+                  sq_n[:, :, 0, :], cn_n[:, :, 0, :])
+    i = 7
+    if quantized:
+        cache_arrs += (res[7][:, :, 0, :], res[8][:, :, 0, :])
+        i = 9
+    wm_next = res[i][:, :, 0, :]
+    return out, cache_arrs, wm_next
+
+
+def fused_chunk_step_sharded(
+    q, k_c, v_c, write_mask, q_pos, counter_init,
+    update_gate, evict_gate, next_pos, next_start,
+    k, v, kv_pos, score, score_sq, counter,
+    k_scale=None, v_scale=None, *,
+    mesh, data_axis: str = "data", model_axis: str = "model",
+    policy: str, feasible_k: int = 0, sink: int = 0, recent_window: int = 0,
+    interpret: bool = False,
+):
+    """fused_chunk_step under a (data, model) mesh via shard_map (even
+    shards required; programs are fully independent)."""
+    from jax.sharding import PartitionSpec as P
+
+    d, m = data_axis, model_axis
+    p4 = P(d, m, None, None)
+    p3 = P(d, m, None)
+    pB = P(d, None)
+    p1 = P(d)
+    quant = k_scale is not None
+
+    def fn(q_, kc_, vc_, wm_, qp_, ci_, ug_, eg_, np_, ns_,
+           k_, v_, pos_, sc_, sq_, cn_, *sc2):
+        ks_, vs_ = sc2 if quant else (None, None)
+        return fused_chunk_step(
+            q_, kc_, vc_, wm_, qp_, ci_, ug_, eg_, np_, ns_,
+            k_, v_, pos_, sc_, sq_, cn_, k_scale=ks_, v_scale=vs_,
+            policy=policy, feasible_k=feasible_k, sink=sink,
+            recent_window=recent_window, interpret=interpret,
+        )
+
+    args = (q, k_c, v_c, write_mask, q_pos, counter_init,
+            update_gate, evict_gate, next_pos, next_start,
+            k, v, kv_pos, score, score_sq, counter)
+    in_specs = (p4, p4, p4, p3, pB, pB, p1, p1, p1, p1,
+                p4, p4, p3, p3, p3, p3)
+    if quant:
+        args += (k_scale, v_scale)
+        in_specs += (p3, p3)
+    cache_specs = (p4, p4, p3, p3, p3, p3) + ((p3, p3) if quant else ())
+    out_specs = (p4, cache_specs, p3)
+    return jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+        check_vma=False,
+    )(*args)

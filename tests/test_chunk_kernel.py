@@ -314,3 +314,116 @@ def test_fused_write_attend_sharded_matches_local():
     for g, r in zip(flat(got), flat(ref)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("policy", ["roco", "h2o_head"])
+@pytest.mark.parametrize("gates", [(True, True), (True, False),
+                                   (False, True)])
+@pytest.mark.parametrize("quantized", [True, False])
+def test_fused_chunk_step_matches_unfused(policy, gates, quantized):
+    """fused_chunk_step == write_tokens_dense + fused_chunk_attend +
+    update_scores_reduced + evict_layer, bit-exact on CPU, including the
+    eviction CHOICES and the next chunk's write slots."""
+    import jax
+
+    from easykv_tpu.cache import LayerCache, quantize_kv, write_tokens_dense
+    from easykv_tpu.ops.pallas.chunk_attention import (
+        fused_chunk_attend,
+        fused_chunk_step,
+    )
+    from easykv_tpu.policies import (
+        PHASE_ENCODE, PolicySpec, evict_layer, update_scores_reduced,
+    )
+
+    g_upd, g_evt = gates
+    B, Hkv, rep, C, S, D = 2, 3, 2, 8, 128, 64
+    Hq = Hkv * rep
+    sink, recent = 4, 10
+    spec = PolicySpec(policy=policy, phase=PHASE_ENCODE, k=C,
+                      sink_length=sink, recent_window=recent,
+                      feasible_k=min(S - 1, 40))
+    rng = np.random.default_rng(41)
+    kf = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    if quantized:
+        k, ks = quantize_kv(kf)
+        v, vs = quantize_kv(vf)
+    else:
+        k, v = kf, vf
+        ks = vs = jnp.zeros((B, Hkv, 1), jnp.float32)
+    # a mostly-full cache: positions 0..S-1 with some holes
+    pos = np.tile(np.arange(S, dtype=np.int32), (B, Hkv, 1))
+    pos[:, :, 17] = -1
+    pos[:, :, 63] = -1
+    f3 = lambda: jnp.asarray(
+        np.abs(rng.normal(size=(B, Hkv, S))).astype(np.float32))
+    cnt = jnp.asarray(1.0 + np.abs(rng.normal(size=(B, Hkv, S))).astype(
+        np.float32))
+    cl = LayerCache(k=k, v=v, pos=jnp.asarray(pos), score=f3(),
+                    score_sq=f3(), counter=cnt, k_scale=ks, v_scale=vs)
+
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    k_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    v_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    q_pos = jnp.broadcast_to(
+        S + jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+    cinit = jnp.asarray(np.abs(rng.normal(size=(B, C))).astype(np.float32))
+    # per-head write slots, sorted ascending (the engine invariant)
+    ids = np.stack([np.sort(rng.choice(S, size=C, replace=False))
+                    for _ in range(B * Hkv)]).reshape(B, Hkv, C).astype(
+                        np.int32)
+    idsj = jnp.asarray(ids)
+    wm = np.zeros((B, Hkv, S), np.int32)
+    np.put_along_axis(wm, ids, 1, axis=-1)
+    next_pos = q_pos[:, -1] + 1
+    ug = jnp.full((B,), g_upd)
+    eg = jnp.full((B,), g_evt)
+    nstart = jnp.full((B,), 3, jnp.int32)
+    rand_rank = jnp.zeros((B,), jnp.int32)
+
+    # --- unfused reference ---
+    rcl = write_tokens_dense(cl, k_c, v_c, q_pos, cinit, idsj)
+    out_r, ssum, ssq, last = fused_chunk_attend(
+        q, rcl.k, rcl.v, rcl.pos, q_pos,
+        k_scale=rcl.k_scale if quantized else None,
+        v_scale=rcl.v_scale if quantized else None,
+        interpret=True, need_scores=True)
+    rcl = update_scores_reduced(rcl, ssum, ssq, last, spec, ug)
+    rcl, eids = evict_layer(rcl, spec, next_pos, jnp.zeros((B,), jnp.int32),
+                            rand_rank, eg)
+    contig = nstart[:, None, None] + jnp.arange(C, dtype=jnp.int32)
+    wids_ref = jnp.where(eg[:, None, None], jnp.sort(eids, axis=-1),
+                         jnp.broadcast_to(contig, (B, Hkv, C)))
+
+    # --- fused ---
+    out_g, arrs, wm_next = fused_chunk_step(
+        q, k_c, v_c, jnp.asarray(wm), q_pos, cinit, ug, eg, next_pos,
+        nstart, cl.k, cl.v, cl.pos, cl.score, cl.score_sq, cl.counter,
+        k_scale=cl.k_scale if quantized else None,
+        v_scale=cl.v_scale if quantized else None,
+        policy=policy, feasible_k=spec.feasible_k, sink=sink,
+        recent_window=recent, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(out_g), np.asarray(out_r),
+                               atol=2e-6, rtol=1e-5)
+    names = ["k", "v", "pos", "score", "score_sq", "counter"] + (
+        ["k_scale", "v_scale"] if quantized else [])
+    for name, g in zip(names, arrs):
+        if name in ("score", "score_sq"):
+            # the p-stat reduction can fuse differently between the two
+            # compilation contexts (1-ulp drift); everything discrete —
+            # eviction choices, positions, K/V, counters — must be exact
+            np.testing.assert_allclose(np.asarray(g),
+                                       np.asarray(getattr(rcl, name)),
+                                       atol=1e-6, rtol=1e-6, err_msg=name)
+            continue
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.asarray(getattr(rcl, name)),
+                                      err_msg=name)
+    # next write slots: mask == sorted ids
+    wm_ids = np.argsort(-np.asarray(wm_next), axis=-1, kind="stable")[
+        :, :, :C]
+    wm_ids.sort(axis=-1)
+    np.testing.assert_array_equal(wm_ids, np.sort(np.asarray(wids_ref),
+                                                  axis=-1))
+    assert np.all(np.asarray(wm_next).sum(-1) == C)

@@ -162,3 +162,31 @@ def test_layer_major_with_chunk_kernel_matches_xla(tiny_model):
         flags.use_pallas(None)
         flags.use_chunk_kernel(None)
     assert with_kernel == without
+
+
+def test_layer_major_with_step_kernel_matches_wa_kernel(tiny_model,
+                                                        monkeypatch):
+    """Engine-level: the opt-in full-step fusion (write+attend+score+evict
+    in one kernel, EASYKV_TPU_STEP_KERNEL=1) produces the same greedy
+    tokens as the write+attend fusion with batched XLA eviction. The
+    comparison holds the attend kernel fixed — kernel-vs-XLA attend is
+    only numerics-equivalent (fp reduction order), so eviction near-ties
+    can diverge across THAT boundary on some seeds; the evict fold itself
+    must be trajectory-exact."""
+    gc = {"budget": 0.5, "kv_policy": "roco", "max_new_tokens": 6,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": [], "seed": 2}
+    ids = ids_of(60, seed=43)
+    try:
+        flags.use_layer_major(True)
+        flags.use_pallas(True)          # interpret mode on CPU
+        flags.use_chunk_kernel(True)
+        monkeypatch.setenv("EASYKV_TPU_STEP_KERNEL", "1")
+        with_step = generate(tiny_model, ids, gc, kv_mode="encoding",
+                             stride=8)
+        monkeypatch.setenv("EASYKV_TPU_STEP_KERNEL", "0")
+        with_wa = generate(tiny_model, ids, gc, kv_mode="encoding", stride=8)
+    finally:
+        flags.use_layer_major(None)
+        flags.use_pallas(None)
+        flags.use_chunk_kernel(None)
+    assert with_step == with_wa
