@@ -383,7 +383,12 @@ def fused_chunk_attend_sharded(
 # Fused write + attend: the strided-encode chunk body in ONE kernel pass.
 # ---------------------------------------------------------------------------
 
-_WA_VMEM_CAP = 12 * 1024 * 1024
+# The estimate below double-counts relative to Mosaic's liveness packing
+# (spreads and logits don't coexist at peak); 15 MB estimated fits the
+# ~16 MB/core VMEM in practice — measured at S=5248 (estimate 14 MB):
+# compiles and runs +30% over the dense-write fallback (RESULTS.md
+# "Reference ppl regime"). Larger shapes fall back gracefully.
+_WA_VMEM_CAP = 15 * 1024 * 1024
 
 
 def wa_fits(rows: int, C: int, S: int, D: int, kv_bytes: int) -> bool:
