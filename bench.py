@@ -166,11 +166,17 @@ def main():
             "max_new_tokens": gen_tokens, "temperature": 1.0, "top_p": 0.95,
             "eos_token_ids": [],
         }
+        import contextlib
+
         t0 = time.time()
-        generate(model, ids, gc, kv_mode="decoding", stride=1)
+        # engine report strings (budget ratio etc.) go to stdout for
+        # reference parity — keep bench stdout to the single JSON line
+        with contextlib.redirect_stdout(sys.stderr):
+            generate(model, ids, gc, kv_mode="decoding", stride=1)
         log(f"  {policy}: warm-up (compile+run) {time.time()-t0:.1f}s")
         t0 = time.time()
-        generate(model, ids, gc, kv_mode="decoding", stride=1)
+        with contextlib.redirect_stdout(sys.stderr):
+            generate(model, ids, gc, kv_mode="decoding", stride=1)
         dt = time.time() - t0
         tps = gen_tokens / dt
         log(f"  {policy}: {gen_tokens} tokens in {dt:.2f}s -> {tps:.2f} tok/s")
