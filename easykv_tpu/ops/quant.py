@@ -122,7 +122,9 @@ def materialize_params(params: Any) -> Any:
         if isinstance(t, dict) and "q4p" in t:
             lo, hi = unpack_int4(t["q4p"])
             w4 = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int4)
-            return {"w4": w4, "gs": t["gs"]}
+            out = {k: v for k, v in t.items() if k != "q4p"}
+            out["w4"] = w4
+            return out
         return t
 
     return jax.tree.map(
@@ -219,6 +221,13 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
     XLA into the dot; see USE_PALLAS_MATMUL for the Pallas alternative)."""
     if not isinstance(w, dict):
         return x @ w
+    if "q8" in w and x.size // x.shape[-1] > 32:
+        # dual-format linear: int4's dequant-dot at prefill/batched widths
+        # is ~1.5-2x slower than int8 (RESULTS.md "int4 at M>1") — when the
+        # tree carries an int8 prefill copy, wide matmuls take it and the
+        # M<=32 decode keeps streaming packed s4.
+        y = jnp.matmul(x, w["q8"].astype(x.dtype))
+        return y * w["s8"].astype(x.dtype)
     if "w4" in w:
         return _mm_w4(x, w["w4"], w["gs"])
     if "q4p" in w:
@@ -278,8 +287,8 @@ def concat_linears(ws, axis: int = -1):
     int4 linears must share a group count)."""
     if isinstance(ws[0], dict) and "q4p" in ws[0]:
         return {
-            "q4p": jnp.concatenate([w["q4p"] for w in ws], axis=axis),
-            "gs": jnp.concatenate([w["gs"] for w in ws], axis=axis),
+            k: jnp.concatenate([w[k] for w in ws], axis=axis)
+            for k in ws[0]  # q4p + gs (+ q8/s8 for dual-format linears)
         }
     if isinstance(ws[0], dict):
         return {
@@ -336,17 +345,30 @@ def _fit_group(K: int, group_size: int) -> int:
 
 
 def quantize_params_int4(params: Any, group_size: int = 128,
-                         lm_head_int8: bool = True) -> Any:
+                         lm_head_int8: bool = True,
+                         dual_int8: bool = False) -> Any:
     """int4 (group-wise) variant of quantize_params. The lm head defaults to
     int8 per-channel: it is read once per step (not per layer), its vocab dim
     dominates the logits quality, and int8 keeps the existing fast f32-accum
     GEMV path. Per-weight group size adapts down when the in-dim is not
-    divisible by `group_size` (finer groups = strictly more accurate)."""
+    divisible by `group_size` (finer groups = strictly more accurate).
+
+    dual_int8=True additionally stores an int8 per-channel copy ("q8"/"s8",
+    quantized from the ORIGINAL weights, not the int4 values) on every layer
+    linear; `mm` then routes matmuls wider than M=32 (prefill chunks, batched
+    decode) through the int8 copy, which is ~1.5-2x faster than the int4
+    dequant-dot at those widths, while M<=32 decode keeps the packed-s4
+    stream. Costs +1x int8 weight HBM (~+3.4 GB at 7B); prefill logits then
+    carry int8 (not int4) quantization error."""
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
         w = layers[name]
-        layers[name] = quantize_linear_int4(w, _fit_group(w.shape[-2], group_size))
+        q4 = quantize_linear_int4(w, _fit_group(w.shape[-2], group_size))
+        if dual_int8:
+            q8 = quantize_linear(w)
+            q4 = {**q4, "q8": q8["q"], "s8": q8["s"]}
+        layers[name] = q4
     out["layers"] = layers
     if "lm_head" in params:
         head = params["lm_head"]

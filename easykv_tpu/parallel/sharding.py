@@ -79,7 +79,11 @@ def param_pspecs_tree(params, cfg: ModelConfig, mc: MeshConfig):
             # out) keep the weight's spec layout — an in-dim ("row-parallel")
             # sharding splits whole halves/groups as long as the local
             # in-shard is a multiple of 2x the group size.
-            return {key: spec, "gs": spec}
+            d = {key: spec, "gs": spec}
+            if "q8" in leaf:  # dual-format int8 prefill copy
+                d["q8"] = spec
+                d["s8"] = P(*(tuple(spec)[:-2] + tuple(spec)[-1:]))
+            return d
         if isinstance(leaf, dict):
             return {"q": spec, "s": P(*(tuple(spec)[:-2] + tuple(spec)[-1:]))}
         return spec

@@ -269,3 +269,69 @@ def test_int4_engine_ppl_matches_dequantized_tree():
     ppl_q = generate(CausalLM(cfg, qparams), ids, gc, kv_mode="ppl", stride=8)
     ppl_d = generate(CausalLM(cfg, dparams), ids, gc, kv_mode="ppl", stride=8)
     assert abs(ppl_q - ppl_d) / ppl_d < 2e-3, (ppl_q, ppl_d)
+
+
+def test_dual_format_int4_routing():
+    """dual_int8 trees: M<=32 matmuls take the int4 path bit-for-bit, M>32
+    take the int8 copy bit-for-bit (the deployment trade in RESULTS.md
+    "int4 at M>1": s4 decode latency + int8 prefill throughput)."""
+    from easykv_tpu.ops.quant import (
+        concat_linears, materialize_params, quantize_linear,
+        quantize_linear_int4, quantize_params_int4,
+    )
+
+    rng = np.random.default_rng(21)
+    w = jnp.asarray(rng.normal(size=(64, 48)).astype(np.float32))
+    q4 = quantize_linear_int4(w, 32)
+    q8 = quantize_linear(w)
+    dual = {**q4, "q8": q8["q"], "s8": q8["s"]}
+
+    x1 = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32))
+    xw = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(mm(x1, dual)), np.asarray(mm(x1, q4)))
+    np.testing.assert_array_equal(np.asarray(mm(xw, dual)), np.asarray(mm(xw, q8)))
+
+    # materialize (q4p -> s4) keeps the int8 copy and the routing
+    md = jax.jit(materialize_params)(dual)
+    assert set(md) == {"w4", "gs", "q8", "s8"}
+    np.testing.assert_array_equal(np.asarray(mm(xw, md)), np.asarray(mm(xw, q8)))
+    np.testing.assert_allclose(
+        np.asarray(mm(x1, md)), np.asarray(mm(x1, q4)), atol=1e-5, rtol=1e-5
+    )
+
+    # concat (the fused-GEMV layout) carries all four parts
+    cat = concat_linears([dual, dual])
+    assert set(cat) == {"q4p", "gs", "q8", "s8"}
+    np.testing.assert_allclose(  # reduction tiling differs at 2x N
+        np.asarray(mm(xw, cat)),
+        np.concatenate([np.asarray(mm(xw, q8))] * 2, axis=-1),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_dual_format_tree_end_to_end():
+    """quantize_params_int4(dual_int8=True): engine prefill+decode runs, and
+    TP pspecs expand to the dual leaves."""
+    from easykv_tpu.ops.quant import quantize_params_int4
+
+    cfg = ModelConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    dual = quantize_params_int4(params, group_size=32, dual_int8=True)
+    assert "q8" in dual["layers"]["wq"] and "s8" in dual["layers"]["wq"]
+
+    ids = np.random.default_rng(7).integers(1, 90, size=(40,))
+    gc = {"budget": 24, "kv_policy": "roco", "max_new_tokens": 12,
+          "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []}
+    out = generate(CausalLM(cfg, dual), ids, gc, kv_mode="decoding", stride=1)
+    assert np.size(np.asarray(out)) > 0
+
+    from easykv_tpu.parallel.mesh import MeshConfig
+    from easykv_tpu.parallel.sharding import param_pspecs_tree
+
+    specs = param_pspecs_tree(dual, cfg, MeshConfig(data=1, model=2))
+    leaf = specs["layers"]["wq"]
+    assert set(leaf) == {"q4p", "gs", "q8", "s8"}
