@@ -119,6 +119,8 @@ def main():
     on_tpu = platform == "tpu"
     log(f"backend={platform} devices={jax.devices()}")
 
+    import os
+
     if on_tpu:
         cfg = ModelConfig(
             vocab_size=32000, hidden_size=4096, intermediate_size=11008,
@@ -126,26 +128,13 @@ def main():
             max_position_embeddings=4096,
         )
         prompt_len, gen_tokens, budget = 512, 384, 200
-        import os
-
-        # int4 (w4a16 group-128) is the default headline: 119.1 tok/s
-        # budgeted vs int8's 91.4 on this chip (RESULTS.md r2)
-        w4 = os.environ.get("EASYKV_BENCH_WEIGHTS", "int4") == "int4"
-        name = ("llama2_7b_int4w_int8kv" if w4 else "llama2_7b_int8w_int8kv")
-        t0 = time.time()
-        params = fake_int4_params(cfg) if w4 else fake_int8_params(cfg)
-        if os.environ.get("EASYKV_BENCH_FUSED", "1") != "0":
-            # fused wqkv/wgu single-GEMV layout: 4 weight streams per layer
-            # instead of 7 (bit-exact; test_quant.py::test_fused_gemv_params)
-            from easykv_tpu.ops.quant import fuse_gemv_params
-
-            params = fuse_gemv_params(params)
-        jax.block_until_ready(params)
-        log(f"7B {'int4' if w4 else 'int8'} params built in {time.time()-t0:.1f}s")
-        # int8 weights + int8 compressed-KV: the production configuration —
-        # measured FASTER than bf16 KV at 7B (70.6 vs 63.8 tok/s; the Pallas
-        # decode kernel streams KV at half the bytes)
-        model = CausalLM(cfg, params, dtype="bfloat16", kv_quant=True)
+        # int4 (w4a16 group-128) is the headline format; int8 (w8a16) is
+        # measured as the `secondary` field so the driver-visible trend line
+        # covers both (VERDICT r2 weak #7). Current numbers live in
+        # RESULTS.md. EASYKV_BENCH_WEIGHTS=int4|int8 runs one format only.
+        formats = {"both": ("int4", "int8"), "int4": ("int4",),
+                   "int8": ("int8",)}[
+                       os.environ.get("EASYKV_BENCH_WEIGHTS", "both")]
     else:
         cfg = ModelConfig(
             vocab_size=1024, hidden_size=256, intermediate_size=688,
@@ -153,14 +142,33 @@ def main():
             max_position_embeddings=2048,
         )
         prompt_len, gen_tokens, budget = 128, 64, 48
-        name = "tiny_cpu"
-        params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
-        model = CausalLM(cfg, params, dtype="float32")
+        formats = ("tiny_cpu",)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(1, cfg.vocab_size, size=(prompt_len,))
 
-    def run(policy, budget_arg):
+    def build_model(fmt):
+        if fmt == "tiny_cpu":
+            params = llama.init_params(cfg, jax.random.PRNGKey(0),
+                                       dtype=jnp.float32)
+            return CausalLM(cfg, params, dtype="float32"), "tiny_cpu"
+        t0 = time.time()
+        params = fake_int4_params(cfg) if fmt == "int4" else fake_int8_params(cfg)
+        if os.environ.get("EASYKV_BENCH_FUSED", "1") != "0":
+            # fused wqkv/wgu single-GEMV layout: 4 weight streams per layer
+            # instead of 7 (bit-exact; test_quant.py::test_fused_gemv_params)
+            from easykv_tpu.ops.quant import fuse_gemv_params
+
+            params = fuse_gemv_params(params)
+        jax.block_until_ready(params)
+        log(f"7B {fmt} params built in {time.time()-t0:.1f}s")
+        # int8 compressed-KV: the production configuration — measured FASTER
+        # than bf16 KV at 7B (the Pallas decode kernel streams KV at half
+        # the bytes)
+        model = CausalLM(cfg, params, dtype="bfloat16", kv_quant=True)
+        return model, f"llama2_7b_{fmt}w_int8kv"
+
+    def run(model, policy, budget_arg):
         gc = {
             "budget": budget_arg, "kv_policy": policy,
             "max_new_tokens": gen_tokens, "temperature": 1.0, "top_p": 0.95,
@@ -182,17 +190,24 @@ def main():
         log(f"  {policy}: {gen_tokens} tokens in {dt:.2f}s -> {tps:.2f} tok/s")
         return tps
 
-    log(f"benchmarking budgeted decode (roco, budget={budget})...")
-    tps_budget = run("roco", budget)
-    log("benchmarking full-cache decode...")
-    tps_full = run("full", budget)
+    results = []
+    for fmt in formats:
+        model, name = build_model(fmt)
+        log(f"[{name}] benchmarking budgeted decode (roco, budget={budget})...")
+        tps_budget = run(model, "roco", budget)
+        log(f"[{name}] benchmarking full-cache decode...")
+        tps_full = run(model, "full", budget)
+        results.append({
+            "metric": f"decode_tokens_per_sec_{name}_budget{budget}",
+            "value": round(tps_budget, 2),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(tps_budget / tps_full, 4),
+        })
+        del model  # free device HBM before building the next format
 
-    result = {
-        "metric": f"decode_tokens_per_sec_{name}_budget{budget}",
-        "value": round(tps_budget, 2),
-        "unit": "tokens/s/chip",
-        "vs_baseline": round(tps_budget / tps_full, 4),
-    }
+    result = results[0]
+    if len(results) > 1:
+        result["secondary"] = results[1:]
     print(json.dumps(result))
 
 

@@ -52,12 +52,12 @@ def _sharded_abstract_params(
         node: Any = specs
         quant_key = None
         for k in keys:
-            if k in ("q", "s", "q4p", "gs"):
+            if k in ("q", "s", "q4p", "gs", "q8", "s8"):
                 quant_key = k
                 break
             node = node[k]
         base: P = node
-        if quant_key == "s":
+        if quant_key in ("s", "s8"):
             # per-output-channel scales: weight spec minus the `in` dim
             return P(*(tuple(base)[:-2] + tuple(base)[-1:]))
         # int4 group scales (.., in//G, out) keep the weight's spec layout

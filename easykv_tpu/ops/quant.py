@@ -356,9 +356,9 @@ def quantize_params_int4(params: Any, group_size: int = 128,
     dual_int8=True additionally stores an int8 per-channel copy ("q8"/"s8",
     quantized from the ORIGINAL weights, not the int4 values) on every layer
     linear; `mm` then routes matmuls wider than M=32 (prefill chunks, batched
-    decode) through the int8 copy, which is ~1.5-2x faster than the int4
-    dequant-dot at those widths, while M<=32 decode keeps the packed-s4
-    stream. Costs +1x int8 weight HBM (~+3.4 GB at 7B); prefill logits then
+    decode above 32 streams) through the int8 copy, which is ~1.5-2x faster
+    than the int4 dequant-dot at those widths, while M<=32 (single-stream
+    and moderately batched decode) keeps the packed-s4 stream. Costs +1x int8 weight HBM (~+3.4 GB at 7B); prefill logits then
     carry int8 (not int4) quantization error."""
     out = dict(params)
     layers = dict(params["layers"])

@@ -15,6 +15,14 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
+
+# Honor an explicit JAX_PLATFORMS=cpu request: the container's sitecustomize
+# registers the tunneled TPU backend and overrides the platform selection,
+# so the env var alone does not stick — flip the config before the first op
+# (same pattern as tests/conftest.py).
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 from easykv_tpu import CausalLM, ModelConfig

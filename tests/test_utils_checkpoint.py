@@ -65,6 +65,44 @@ def test_checkpoint_restore_sharded(tmp_path):
     assert restored["lm_head"]["s"].sharding.spec == P("model")
 
 
+def test_checkpoint_restore_sharded_dual_int4(tmp_path):
+    """ADVICE r2 (medium): mesh-aware restore of a dual-format int4 tree —
+    the q8/s8 leaves must resolve to the weight spec / scale spec instead of
+    falling through leaf_spec's node walk."""
+    from easykv_tpu.config import MeshConfig
+    from easykv_tpu.ops.quant import quantize_params_int4
+    from easykv_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    cfg = ModelConfig(
+        vocab_size=32, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+    )
+    # group 16 so the (.., in//G, out) group-scale dim splits 4 ways
+    params = quantize_params_int4(
+        llama.init_params(cfg, jax.random.PRNGKey(2)),
+        group_size=16, dual_int8=True,
+    )
+    path = str(tmp_path / "ckpt_dual")
+    save_checkpoint(path, cfg, params)
+
+    mc = MeshConfig(data=2, model=4)
+    mesh = make_mesh(mc)
+    cfg2, restored = load_checkpoint(path, mesh=mesh, mesh_config=mc)
+    assert cfg2 == cfg
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        params, restored,
+    )
+    wq = restored["layers"]["wq"]
+    assert wq["q8"].sharding.spec == P(None, None, "model")
+    assert wq["s8"].sharding.spec == P(None, "model")
+    assert restored["layers"]["wo"]["q8"].sharding.spec == P(None, "model", None)
+    assert restored["layers"]["wo"]["s8"].sharding.spec == P(None, None)
+    assert wq["q4p"].sharding.spec == P(None, None, "model")
+    assert wq["gs"].sharding.spec == P(None, None, "model")
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = ModelConfig(
         vocab_size=32, hidden_size=16, intermediate_size=32,
