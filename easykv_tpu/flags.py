@@ -138,6 +138,19 @@ def w4_kernel_enabled() -> bool:
     return False
 
 
+def w4a_kernel_enabled() -> bool:
+    """Pallas streaming GEMV for ARITHMETIC-packed int4 weights ({"q4a"}
+    linears, ops/pallas/w4_stream.py). Default ON whenever Pallas is —
+    streaming the plain-int8 carrier is the format's entire point; the env
+    knob EASYKV_TPU_W4A_KERNEL=0 drops to the XLA einsum path for A/Bs."""
+    import os
+
+    env = os.environ.get("EASYKV_TPU_W4A_KERNEL")
+    if env is not None:
+        return env not in ("0", "false", "off") and pallas_enabled()
+    return pallas_enabled()
+
+
 _LAYER_MAJOR_OVERRIDE: Optional[bool] = None
 
 

@@ -52,7 +52,7 @@ def _sharded_abstract_params(
         node: Any = specs
         quant_key = None
         for k in keys:
-            if k in ("q", "s", "q4p", "gs", "q8", "s8"):
+            if k in ("q", "s", "q4p", "q4a", "gs", "q8", "s8"):
                 quant_key = k
                 break
             node = node[k]

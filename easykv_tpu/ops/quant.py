@@ -59,14 +59,60 @@ def unpack_int4(q4p: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return lo, hi
 
 
-def quantize_linear_int4(w: jax.Array, group_size: int = 128) -> QuantLinear:
+def pack_int4_arith(q: jax.Array, group_size: int) -> jax.Array:
+    """(.., K, N) int8 nibbles in [-7, 7] -> (.., K//2, N) int8 carrier with
+    ARITHMETIC group-paired packing: within each scale group of G input
+    rows, carrier row g*(G/2)+t = 16*q[g*G + G/2 + t] + q[g*G + t].
+
+    The carrier is a plain int8 array (values in [-119, 119]) — it streams
+    HBM at int8 rates instead of the slower s4 read path, and
+    (carrier << 4) == 16*lo exactly, so the Pallas decode GEMV
+    (ops/pallas/w4_stream.py) unpacks with ONE VPU op per byte. Pairing
+    within a group keeps both nibbles of a byte under the same scale."""
+    *lead, K, N = q.shape
+    G = group_size
+    gc = K // G
+    qg = q.reshape(*lead, gc, 2, G // 2, N).astype(jnp.int8)
+    lo = qg[..., 0, :, :]
+    hi = qg[..., 1, :, :]
+    p = (jnp.int8(16) * hi + lo).astype(jnp.int8)
+    return p.reshape(*lead, K // 2, N)
+
+
+def unpack_int4_arith(p: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(.., K//2, N) arithmetic carrier -> (lo, hi) int8 nibble values in
+    carrier-row order (row g*(G/2)+t of both = group g, offset t)."""
+    hi = jnp.right_shift(p + jnp.int8(8), 4)           # round(p/16), exact
+    lo = (p - jnp.int8(16) * hi).astype(jnp.int8)
+    return lo, hi
+
+
+def _arith_to_rows(p: jax.Array, gc: int) -> jax.Array:
+    """Reorder an arithmetic carrier back to original-row int4 values:
+    (.., K//2, N) -> (.., K, N) int8 in [-7, 7]."""
+    *lead, Kh, N = p.shape
+    lo, hi = unpack_int4_arith(p)
+    Gh = Kh // gc
+    lo = lo.reshape(*lead, gc, Gh, N)
+    hi = hi.reshape(*lead, gc, Gh, N)
+    return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, 2 * Kh, N)
+
+
+def quantize_linear_int4(w: jax.Array, group_size: int = 128,
+                         layout: str = "halves") -> QuantLinear:
     """Symmetric group-wise int4 quantization of (.., in, out).
 
     Scales are per (input-group, output-channel): the `in` dim is split into
     groups of `group_size` and each (group, column) gets its own scale —
     the standard w4 recipe (per-channel-only int4 loses too much). Values
-    are clipped to [-7, 7] (symmetric, -8 unused). Requires (in/2) % group
-    == 0 so the halves packing splits on a group boundary."""
+    are clipped to [-7, 7] (symmetric, -8 unused).
+
+    layout="halves": {"q4p", "gs"} bit-packed nibbles (row r | row r+K/2
+    << 4), converted to native s4 in-jit by materialize_params — XLA's s4
+    dot consumes it. Requires (in/2) % group == 0.
+    layout="arith": {"q4a", "gs"} arithmetic group-paired carrier
+    (pack_int4_arith) for the Pallas streaming GEMV — plain int8 in HBM,
+    no s4 anywhere. Requires group even."""
     *lead, K, N = w.shape
     if K % group_size != 0 or (K // 2) % group_size != 0:
         raise ValueError(
@@ -77,9 +123,15 @@ def quantize_linear_int4(w: jax.Array, group_size: int = 128) -> QuantLinear:
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)      # (.., gc, 1, N)
     scale = jnp.maximum(amax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
+    gs = scale.squeeze(-2).astype(jnp.float32)                # (.., gc, N)
+    if layout == "arith":
+        if group_size % 2 != 0:
+            raise ValueError(f"arith layout needs an even group, got {group_size}")
+        return {"q4a": pack_int4_arith(q.reshape(*lead, K, N), group_size),
+                "gs": gs}
     return {
         "q4p": pack_int4(q.reshape(*lead, K, N)),
-        "gs": scale.squeeze(-2).astype(jnp.float32),          # (.., gc, N)
+        "gs": gs,
     }
 
 
@@ -210,6 +262,45 @@ def _mm_w4(x: jax.Array, w4: jax.Array, gs: jax.Array) -> jax.Array:
     return jnp.sum(y * gs, axis=-2).astype(x.dtype)
 
 
+def _mm_w4a(x: jax.Array, p: jax.Array, gs: jax.Array) -> jax.Array:
+    """x (.., K) @ dequant(arith carrier p (K/2, N), gs (gc, N)).
+
+    M == 1 on TPU: the Pallas streaming GEMV (ops/pallas/w4_stream.py) —
+    the carrier streams HBM as plain int8 (700+ GB/s chain rate vs ~548 for
+    XLA's s4 layout) and unpacks with one VPU shift + two MXU dots.
+    Otherwise: grouped einsum on the unpacked nibbles (M <= 32) or
+    dequantize-to-dense dot (M > 32), mirroring _mm_w4's width policy."""
+    Kh, N = p.shape
+    gc = gs.shape[0]
+    Gh = Kh // gc
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    if M == 1:
+        from .. import flags
+
+        if flags.w4a_kernel_enabled():
+            from .pallas.w4_stream import w4a16_gemv_arith
+
+            y = w4a16_gemv_arith(x.reshape(1, 2 * Kh), p, gs,
+                                 interpret=flags.pallas_interpret())
+            return y.reshape(lead + (N,))
+    if M > 32:
+        wf = (_arith_to_rows(p, gc).astype(x.dtype).reshape(gc, 2 * Gh, N)
+              * gs[:, None, :].astype(x.dtype)).reshape(2 * Kh, N)
+        return jnp.matmul(x, wf)
+    lo, hi = unpack_int4_arith(p)
+    xg = x.reshape(x.shape[:-1] + (gc, 2, Gh))
+    y = jnp.einsum("...gk,gkn->...gn", xg[..., 0, :],
+                   lo.reshape(gc, Gh, N).astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+    y = y + jnp.einsum("...gk,gkn->...gn", xg[..., 1, :],
+                       hi.reshape(gc, Gh, N).astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+    return jnp.sum(y * gs, axis=-2).astype(x.dtype)
+
+
 USE_PALLAS_MATMUL = False  # measured slower than XLA's int8 path end-to-end
 # on v5e (39.5 vs 62.3 tok/s at 7B decode) — XLA's convert-before-dot fuses
 # better than feared; ops/pallas/quant_matmul.py remains available for
@@ -228,6 +319,8 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
         # M<=32 decode keeps streaming packed s4.
         y = jnp.matmul(x, w["q8"].astype(x.dtype))
         return y * w["s8"].astype(x.dtype)
+    if "q4a" in w:
+        return _mm_w4a(x, w["q4a"], w["gs"])
     if "w4" in w:
         return _mm_w4(x, w["w4"], w["gs"])
     if "q4p" in w:
@@ -276,6 +369,13 @@ def dequantize(w: Union[jax.Array, QuantLinear], dtype=jnp.float32) -> jax.Array
         wf = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
         wf = wf.reshape(*lead, gc, K // gc, N) * w["gs"][..., :, None, :]
         return wf.reshape(*lead, K, N).astype(dtype)
+    if isinstance(w, dict) and "q4a" in w:
+        *lead, Kh, N = w["q4a"].shape
+        K = 2 * Kh
+        gc = w["gs"].shape[-2]
+        wf = _arith_to_rows(w["q4a"], gc).astype(jnp.float32)
+        wf = wf.reshape(*lead, gc, K // gc, N) * w["gs"][..., :, None, :]
+        return wf.reshape(*lead, K, N).astype(dtype)
     if isinstance(w, dict):
         return (w["q"].astype(jnp.float32) * w["s"][..., None, :]).astype(dtype)
     return w.astype(dtype)
@@ -285,10 +385,10 @@ def concat_linears(ws, axis: int = -1):
     """Concatenate plain or quantized ({"q","s"} / {"q4p","gs"}) linears along
     the output dim (per-output-channel / per-group scales concatenate 1:1;
     int4 linears must share a group count)."""
-    if isinstance(ws[0], dict) and "q4p" in ws[0]:
+    if isinstance(ws[0], dict) and ("q4p" in ws[0] or "q4a" in ws[0]):
         return {
             k: jnp.concatenate([w[k] for w in ws], axis=axis)
-            for k in ws[0]  # q4p + gs (+ q8/s8 for dual-format linears)
+            for k in ws[0]  # q4p/q4a + gs (+ q8/s8 for dual-format linears)
         }
     if isinstance(ws[0], dict):
         return {
@@ -346,7 +446,8 @@ def _fit_group(K: int, group_size: int) -> int:
 
 def quantize_params_int4(params: Any, group_size: int = 128,
                          lm_head_int8: bool = True,
-                         dual_int8: bool = False) -> Any:
+                         dual_int8: bool = False,
+                         layout: str = "halves") -> Any:
     """int4 (group-wise) variant of quantize_params. The lm head defaults to
     int8 per-channel: it is read once per step (not per layer), its vocab dim
     dominates the logits quality, and int8 keeps the existing fast f32-accum
@@ -364,7 +465,9 @@ def quantize_params_int4(params: Any, group_size: int = 128,
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
         w = layers[name]
-        q4 = quantize_linear_int4(w, _fit_group(w.shape[-2], group_size))
+        g = _fit_group(w.shape[-2], group_size)
+        lay = layout if g % 2 == 0 else "halves"  # arith needs an even group
+        q4 = quantize_linear_int4(w, g, layout=lay)
         if dual_int8:
             q8 = quantize_linear(w)
             q4 = {**q4, "q8": q8["q"], "s8": q8["s"]}

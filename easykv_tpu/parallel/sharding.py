@@ -73,8 +73,9 @@ def param_pspecs_tree(params, cfg: ModelConfig, mc: MeshConfig):
     (lm_head, biases) are pruned."""
 
     def expand(spec: P, leaf):
-        if isinstance(leaf, dict) and ("q4p" in leaf or "w4" in leaf):
-            key = "q4p" if "q4p" in leaf else "w4"
+        if isinstance(leaf, dict) and (
+                "q4p" in leaf or "q4a" in leaf or "w4" in leaf):
+            key = next(k for k in ("q4p", "q4a", "w4") if k in leaf)
             # packed nibbles (.., in//2, out) and group scales (.., in//G,
             # out) keep the weight's spec layout — an in-dim ("row-parallel")
             # sharding splits whole halves/groups as long as the local

@@ -335,3 +335,113 @@ def test_dual_format_tree_end_to_end():
     specs = param_pspecs_tree(dual, cfg, MeshConfig(data=1, model=2))
     leaf = specs["layers"]["wq"]
     assert set(leaf) == {"q4p", "gs", "q8", "s8"}
+
+
+def test_int4_arith_pack_roundtrip_and_dequant():
+    """Arithmetic group-paired packing (pack_int4_arith): lossless nibble
+    round-trip, (carrier << 4) == 16*lo, and dequantize parity with the
+    halves layout (same quantized values, different storage)."""
+    from easykv_tpu.ops.quant import (
+        pack_int4_arith, quantize_linear_int4, unpack_int4_arith)
+
+    rng = np.random.default_rng(21)
+    G = 32
+    q8 = np.asarray(rng.integers(-7, 8, size=(128, 48)), np.int8)
+    p = pack_int4_arith(jnp.asarray(q8), G)
+    assert p.dtype == jnp.int8 and p.shape == (64, 48)
+    lo, hi = unpack_int4_arith(p)
+    gc = 128 // G
+    qg = q8.reshape(gc, 2, G // 2, 48)
+    np.testing.assert_array_equal(
+        np.asarray(lo).reshape(gc, G // 2, 48), qg[:, 0])
+    np.testing.assert_array_equal(
+        np.asarray(hi).reshape(gc, G // 2, 48), qg[:, 1])
+    # the one-VPU-op unpack identity the Pallas kernel relies on
+    np.testing.assert_array_equal(
+        np.asarray(jnp.left_shift(p, 4)), 16 * np.asarray(lo))
+
+    w = jnp.asarray(rng.normal(size=(128, 48)).astype(np.float32))
+    qa = quantize_linear_int4(w, group_size=G, layout="arith")
+    qh = quantize_linear_int4(w, group_size=G)
+    assert "q4a" in qa and qa["q4a"].shape == (64, 48)
+    np.testing.assert_allclose(
+        np.asarray(dequantize(qa)), np.asarray(dequantize(qh)), atol=1e-6)
+
+
+def test_int4_arith_mm_matches_dequantized():
+    """_mm_w4a (einsum M<=32 / dense M>32 XLA paths) vs dequantized matmul."""
+    from easykv_tpu.ops.quant import quantize_linear_int4
+
+    rng = np.random.default_rng(22)
+    w = jnp.asarray(rng.normal(size=(128, 48)).astype(np.float32))
+    q = quantize_linear_int4(w, group_size=32, layout="arith")
+    for M in (1, 4, 64):
+        x = jnp.asarray(rng.normal(size=(M, 128)).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(mm(x, q)), np.asarray(x @ dequantize(q)),
+            atol=1e-4, rtol=1e-4,
+        )
+    x3 = jnp.asarray(rng.normal(size=(2, 3, 128)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(mm(x3, q)), np.asarray(x3 @ dequantize(q)),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_pallas_w4_stream_gemv_parity():
+    """The arithmetic-carrier streaming GEMV kernel (interpret mode) vs the
+    dequantized matmul, across uneven N/gc and both dot variants."""
+    from easykv_tpu.ops.pallas.w4_stream import w4a16_gemv_arith
+    from easykv_tpu.ops.quant import quantize_linear_int4
+
+    rng = np.random.default_rng(23)
+    for K, N, G in [(256, 384, 64), (512, 300, 128), (256, 1024, 128)]:
+        x = jnp.asarray(rng.normal(size=(1, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        q = quantize_linear_int4(w, group_size=G, layout="arith")
+        ref = np.asarray(x @ dequantize(q))
+        for mixed in (True, False):
+            got = np.asarray(w4a16_gemv_arith(
+                x, q["q4a"], q["gs"], interpret=True, mixed=mixed))
+            np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_int4_arith_layout_matches_halves_logits():
+    """The arith and halves layouts hold IDENTICAL quantized values, so the
+    model forward must agree across the two mm paths to fp tolerance."""
+    from easykv_tpu.cache import init_cache
+    from easykv_tpu.models.llama import StepCtx, forward
+    from easykv_tpu.ops.quant import quantize_params_int4
+
+    cfg = ModelConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    qa = quantize_params_int4(params, group_size=16, layout="arith")
+    qh = quantize_params_int4(params, group_size=16)
+    assert "q4a" in qa["layers"]["wq"] and "q4p" in qh["layers"]["wq"]
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(1, 90, size=(1, 24)), jnp.int32)
+
+    def prefill_logits(tree):
+        cache = init_cache(
+            cfg.num_hidden_layers, 1, cfg.num_key_value_heads, 32,
+            cfg.head_dim, dtype=jnp.float32,
+        )
+        ctx = StepCtx(
+            q_pos=jnp.arange(24, dtype=jnp.int32)[None],
+            token_valid=jnp.ones((1, 24), bool),
+            counter_init=jnp.zeros((1, 24), jnp.float32),
+            next_pos=jnp.array([24], jnp.int32),
+            prompt_len=jnp.array([24], jnp.int32),
+            evict_gate=jnp.array([False]),
+            update_gate=jnp.array(False),
+            rand_rank=jnp.zeros((1,), jnp.int32),
+        )
+        logits, _ = forward(tree, cfg, cache, ids, ctx, None)
+        return np.asarray(logits)
+
+    np.testing.assert_allclose(
+        prefill_logits(qa), prefill_logits(qh), atol=2e-2, rtol=2e-2)
