@@ -77,10 +77,9 @@ def mm4_masked(x, w):
     return jnp.sum(Y * gs, axis=0, keepdims=True).astype(x.dtype)
 
 
-def make_arith_mm(mixed, dma_only):
+def make_arith_mm():
     def mma(x, w):
-        return w4a16_gemv_arith(x, w["p"], w["gs"], mixed=mixed,
-                                dma_only=dma_only)
+        return w4a16_gemv_arith(x, w["p"], w["gs"])
     return mma
 
 
@@ -206,11 +205,7 @@ def main():
     runs = [
         ("A int8 per-channel", make_run(mm8, False), ws8, bytes8),
         ("B s4 g128 masked", make_run(mm4_masked, True), ws8, bytes8 // 2),
-        ("C arith pallas mixed", make_run(make_arith_mm(True, False), False),
-         wsa, bytes8 // 2),
-        ("D arith pallas convert", make_run(make_arith_mm(False, False), False),
-         wsa, bytes8 // 2),
-        ("E arith pallas dma-only", make_run(make_arith_mm(True, True), False),
+        ("C arith pallas per-op", make_run(make_arith_mm(), False),
          wsa, bytes8 // 2),
     ]
     for name, fn, ws, _ in runs:

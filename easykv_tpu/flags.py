@@ -138,6 +138,20 @@ def w4_kernel_enabled() -> bool:
     return False
 
 
+def mega_kernel_enabled() -> bool:
+    """One-pallas-call decode step (ops/pallas/fused_decode.py): the whole
+    L-layer forward — arith-int4 GEMVs + RoPE + budgeted-cache attention —
+    in a single kernel. Applies only when the param tree is the fused
+    (wqkv/wgu) arithmetic-int4 layout, B == 1, single chip. Default ON
+    where Pallas is; EASYKV_TPU_MEGA=0 drops to the per-layer scan."""
+    import os
+
+    env = os.environ.get("EASYKV_TPU_MEGA")
+    if env is not None:
+        return env not in ("0", "false", "off") and pallas_enabled()
+    return pallas_enabled()
+
+
 def w4a_kernel_enabled() -> bool:
     """Pallas streaming GEMV for ARITHMETIC-packed int4 weights ({"q4a"}
     linears, ops/pallas/w4_stream.py). Default ON whenever Pallas is —

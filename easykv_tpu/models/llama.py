@@ -729,6 +729,15 @@ def _decode_forward(
     h = jnp.take(params["embed"], jnp.maximum(token_ids, 0), axis=0)
     q_pos = ctx.q_pos  # (B, 1)
 
+    lyr = params["layers"]
+    use_mega = (
+        use_kernel and mesh_info is None and B == 1
+        and flags.mega_kernel_enabled()
+        and isinstance(lyr.get("wqkv"), dict) and "q4a" in lyr["wqkv"]
+        and "gs3" in lyr["wqkv"] and "bqkv" not in lyr
+        and isinstance(lyr.get("wgu"), dict) and "q4a" in lyr["wgu"]
+    )
+
     def layer(h, xs):
         p, cl = xs
         cl = LayerCache(*cl)
@@ -771,9 +780,29 @@ def _decode_forward(
         h = h + _mlp(x2, p)
         return h, (k, v, probs_kv[:, :, 0, :], p_new)
 
-    h, (kn, vn, probs, p_new) = jax.lax.scan(
-        layer, h, (params["layers"], tuple(cache))
-    )
+    if use_mega:
+        # One-pallas-call decode step: all layers' GEMVs + RoPE + attention
+        # in a single kernel (ops/pallas/fused_decode.py) — same outputs as
+        # the scan below, minus 4L XLA op boundaries and L attention-kernel
+        # dispatches (~45 us per pallas call on this backend, RESULTS.md).
+        from ..ops.pallas.fused_decode import fused_decode_step
+
+        quantized = cache.k.dtype == jnp.int8
+        hm, kn_m, vn_m, probs_m, pnew_m = fused_decode_step(
+            lyr, cfg, cache.k, cache.v, cache.pos, h[0], q_pos[0],
+            k_scale=cache.k_scale if quantized else None,
+            v_scale=cache.v_scale if quantized else None,
+            interpret=interp,
+        )
+        h = hm[None]                              # (1, 1, D)
+        kn = kn_m[:, None]                        # (L, 1, Hkv, 1, Dh)
+        vn = vn_m[:, None]
+        probs = probs_m[:, None, :, 0, :]         # (L, 1, Hkv, S)
+        p_new = pnew_m[:, None, :, None]          # (L, 1, Hkv, 1)
+    else:
+        h, (kn, vn, probs, p_new) = jax.lax.scan(
+            layer, h, (params["layers"], tuple(cache))
+        )
     if use_sidecar_kernel:
         from ..ops.pallas.sidecar_update import (
             fused_write_update, fused_write_update_sharded,

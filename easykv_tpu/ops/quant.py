@@ -59,43 +59,35 @@ def unpack_int4(q4p: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return lo, hi
 
 
-def pack_int4_arith(q: jax.Array, group_size: int) -> jax.Array:
+def pack_int4_arith(q: jax.Array, group_size: int = 0) -> jax.Array:
     """(.., K, N) int8 nibbles in [-7, 7] -> (.., K//2, N) int8 carrier with
-    ARITHMETIC group-paired packing: within each scale group of G input
-    rows, carrier row g*(G/2)+t = 16*q[g*G + G/2 + t] + q[g*G + t].
+    ARITHMETIC halves packing: carrier row r = 16*q[r + K/2] + q[r].
 
     The carrier is a plain int8 array (values in [-119, 119]) — it streams
     HBM at int8 rates instead of the slower s4 read path, and
-    (carrier << 4) == 16*lo exactly, so the Pallas decode GEMV
-    (ops/pallas/w4_stream.py) unpacks with ONE VPU op per byte. Pairing
-    within a group keeps both nibbles of a byte under the same scale."""
-    *lead, K, N = q.shape
-    G = group_size
-    gc = K // G
-    qg = q.reshape(*lead, gc, 2, G // 2, N).astype(jnp.int8)
-    lo = qg[..., 0, :, :]
-    hi = qg[..., 1, :, :]
-    p = (jnp.int8(16) * hi + lo).astype(jnp.int8)
-    return p.reshape(*lead, K // 2, N)
+    (carrier << 4) == 16*lo exactly, so the Pallas streaming kernels
+    (ops/pallas/w4_stream.py) unpack with ~0.5 VPU ops per byte and
+    recover the exact grouped matmul from MXU dots on plain slices of x
+    (halves split on group boundaries, like the bit-packed q4p layout)."""
+    K = q.shape[-2]
+    lo, hi = q[..., : K // 2, :], q[..., K // 2 :, :]
+    return (jnp.int8(16) * hi.astype(jnp.int8)
+            + lo.astype(jnp.int8)).astype(jnp.int8)
 
 
 def unpack_int4_arith(p: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(.., K//2, N) arithmetic carrier -> (lo, hi) int8 nibble values in
-    carrier-row order (row g*(G/2)+t of both = group g, offset t)."""
+    """(.., K//2, N) arithmetic carrier -> (lo, hi) int8 nibble values;
+    lo = original rows [0, K/2), hi = rows [K/2, K) (halves layout)."""
     hi = jnp.right_shift(p + jnp.int8(8), 4)           # round(p/16), exact
     lo = (p - jnp.int8(16) * hi).astype(jnp.int8)
     return lo, hi
 
 
-def _arith_to_rows(p: jax.Array, gc: int) -> jax.Array:
-    """Reorder an arithmetic carrier back to original-row int4 values:
+def _arith_to_rows(p: jax.Array, gc: int = 0) -> jax.Array:
+    """Arithmetic carrier back to original-row int4 values:
     (.., K//2, N) -> (.., K, N) int8 in [-7, 7]."""
-    *lead, Kh, N = p.shape
     lo, hi = unpack_int4_arith(p)
-    Gh = Kh // gc
-    lo = lo.reshape(*lead, gc, Gh, N)
-    hi = hi.reshape(*lead, gc, Gh, N)
-    return jnp.concatenate([lo, hi], axis=-2).reshape(*lead, 2 * Kh, N)
+    return jnp.concatenate([lo, hi], axis=-2)
 
 
 def quantize_linear_int4(w: jax.Array, group_size: int = 128,
@@ -110,9 +102,9 @@ def quantize_linear_int4(w: jax.Array, group_size: int = 128,
     layout="halves": {"q4p", "gs"} bit-packed nibbles (row r | row r+K/2
     << 4), converted to native s4 in-jit by materialize_params — XLA's s4
     dot consumes it. Requires (in/2) % group == 0.
-    layout="arith": {"q4a", "gs"} arithmetic group-paired carrier
-    (pack_int4_arith) for the Pallas streaming GEMV — plain int8 in HBM,
-    no s4 anywhere. Requires group even."""
+    layout="arith": {"q4a", "gs"} arithmetic halves carrier
+    (pack_int4_arith) for the Pallas streaming kernels — plain int8 in
+    HBM, no s4 anywhere. Same divisibility constraints as halves."""
     *lead, K, N = w.shape
     if K % group_size != 0 or (K // 2) % group_size != 0:
         raise ValueError(
@@ -125,10 +117,7 @@ def quantize_linear_int4(w: jax.Array, group_size: int = 128,
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
     gs = scale.squeeze(-2).astype(jnp.float32)                # (.., gc, N)
     if layout == "arith":
-        if group_size % 2 != 0:
-            raise ValueError(f"arith layout needs an even group, got {group_size}")
-        return {"q4a": pack_int4_arith(q.reshape(*lead, K, N), group_size),
-                "gs": gs}
+        return {"q4a": pack_int4_arith(q.reshape(*lead, K, N)), "gs": gs}
     return {
         "q4p": pack_int4(q.reshape(*lead, K, N)),
         "gs": gs,
@@ -177,11 +166,20 @@ def materialize_params(params: Any) -> Any:
             out = {k: v for k, v in t.items() if k != "q4p"}
             out["w4"] = w4
             return out
+        if isinstance(t, dict) and "q4a" in t and "gs3" not in t:
+            # arith carrier needs no conversion (plain int8 in HBM); add the
+            # precomputed epilogue scale triple the streaming kernels use
+            # (ops/pallas/w4_stream.arith_scale_triple) so it is not rebuilt
+            # per decode step.
+            from .pallas.w4_stream import arith_scale_triple
+
+            return {**t, "gs3": arith_scale_triple(t["gs"])}
         return t
 
     return jax.tree.map(
         conv, params,
-        is_leaf=lambda t: isinstance(t, dict) and ("q4p" in t or "q" in t),
+        is_leaf=lambda t: isinstance(t, dict)
+        and ("q4p" in t or "q4a" in t or "q" in t),
     )
 
 
@@ -212,8 +210,19 @@ def materialize_params_resident(params: Any) -> Any:
     s4 arrays device-resident, so each tick's jit streams packed s4 without
     a per-tick conversion prologue. Falls back to the packed-int8
     representation (grouped-dot mm path) when the backend cannot pass s4
-    across the jit boundary."""
-    if not _s4_boundary_ok():
+    across the jit boundary — arith ({"q4a"}) trees never produce s4, so
+    they always materialize (the gs3 epilogue-scale precompute)."""
+
+    def has_q4p(t):
+        found = [False]
+        jax.tree.map(
+            lambda x: found.__setitem__(0, True) if (
+                isinstance(x, dict) and "q4p" in x) else None,
+            t, is_leaf=lambda x: isinstance(x, dict) and (
+                "q4p" in x or "q4a" in x or "q" in x))
+        return found[0]
+
+    if has_q4p(params) and not _s4_boundary_ok():
         return params
     return jax.jit(materialize_params)(params)
 
@@ -287,18 +296,24 @@ def _mm_w4a(x: jax.Array, p: jax.Array, gs: jax.Array) -> jax.Array:
                                  interpret=flags.pallas_interpret())
             return y.reshape(lead + (N,))
     if M > 32:
-        wf = (_arith_to_rows(p, gc).astype(x.dtype).reshape(gc, 2 * Gh, N)
+        G = 2 * Kh // gc
+        wf = (_arith_to_rows(p).astype(x.dtype).reshape(gc, G, N)
               * gs[:, None, :].astype(x.dtype)).reshape(2 * Kh, N)
         return jnp.matmul(x, wf)
     lo, hi = unpack_int4_arith(p)
-    xg = x.reshape(x.shape[:-1] + (gc, 2, Gh))
-    y = jnp.einsum("...gk,gkn->...gn", xg[..., 0, :],
-                   lo.reshape(gc, Gh, N).astype(x.dtype),
-                   preferred_element_type=jnp.float32)
-    y = y + jnp.einsum("...gk,gkn->...gn", xg[..., 1, :],
-                       hi.reshape(gc, Gh, N).astype(x.dtype),
+    gch = gc // 2
+    gk = Kh // gch
+
+    def half(xh, wh, sh):
+        xg = xh.reshape(x.shape[:-1] + (gch, gk))
+        wg = wh.reshape(gch, gk, N).astype(x.dtype)
+        y = jnp.einsum("...gk,gkn->...gn", xg, wg,
                        preferred_element_type=jnp.float32)
-    return jnp.sum(y * gs, axis=-2).astype(x.dtype)
+        return jnp.sum(y * sh, axis=-2)
+
+    y = (half(x[..., :Kh], lo, gs[:gch])
+         + half(x[..., Kh:], hi, gs[gch:]))
+    return y.astype(x.dtype)
 
 
 USE_PALLAS_MATMUL = False  # measured slower than XLA's int8 path end-to-end
@@ -466,8 +481,7 @@ def quantize_params_int4(params: Any, group_size: int = 128,
     for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
         w = layers[name]
         g = _fit_group(w.shape[-2], group_size)
-        lay = layout if g % 2 == 0 else "halves"  # arith needs an even group
-        q4 = quantize_linear_int4(w, g, layout=lay)
+        q4 = quantize_linear_int4(w, g, layout=layout)
         if dual_int8:
             q8 = quantize_linear(w)
             q4 = {**q4, "q8": q8["q"], "s8": q8["s"]}

@@ -338,25 +338,21 @@ def test_dual_format_tree_end_to_end():
 
 
 def test_int4_arith_pack_roundtrip_and_dequant():
-    """Arithmetic group-paired packing (pack_int4_arith): lossless nibble
+    """Arithmetic halves packing (pack_int4_arith): lossless nibble
     round-trip, (carrier << 4) == 16*lo, and dequantize parity with the
-    halves layout (same quantized values, different storage)."""
+    bit-packed halves layout (same quantized values, different storage)."""
     from easykv_tpu.ops.quant import (
         pack_int4_arith, quantize_linear_int4, unpack_int4_arith)
 
     rng = np.random.default_rng(21)
     G = 32
     q8 = np.asarray(rng.integers(-7, 8, size=(128, 48)), np.int8)
-    p = pack_int4_arith(jnp.asarray(q8), G)
+    p = pack_int4_arith(jnp.asarray(q8))
     assert p.dtype == jnp.int8 and p.shape == (64, 48)
     lo, hi = unpack_int4_arith(p)
-    gc = 128 // G
-    qg = q8.reshape(gc, 2, G // 2, 48)
-    np.testing.assert_array_equal(
-        np.asarray(lo).reshape(gc, G // 2, 48), qg[:, 0])
-    np.testing.assert_array_equal(
-        np.asarray(hi).reshape(gc, G // 2, 48), qg[:, 1])
-    # the one-VPU-op unpack identity the Pallas kernel relies on
+    np.testing.assert_array_equal(np.asarray(lo), q8[:64])
+    np.testing.assert_array_equal(np.asarray(hi), q8[64:])
+    # the cheap-unpack identity the Pallas kernels rely on
     np.testing.assert_array_equal(
         np.asarray(jnp.left_shift(p, 4)), 16 * np.asarray(lo))
 
@@ -390,7 +386,7 @@ def test_int4_arith_mm_matches_dequantized():
 
 def test_pallas_w4_stream_gemv_parity():
     """The arithmetic-carrier streaming GEMV kernel (interpret mode) vs the
-    dequantized matmul, across uneven N/gc and both dot variants."""
+    dequantized matmul, across uneven N/gc."""
     from easykv_tpu.ops.pallas.w4_stream import w4a16_gemv_arith
     from easykv_tpu.ops.quant import quantize_linear_int4
 
@@ -400,10 +396,9 @@ def test_pallas_w4_stream_gemv_parity():
         w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
         q = quantize_linear_int4(w, group_size=G, layout="arith")
         ref = np.asarray(x @ dequantize(q))
-        for mixed in (True, False):
-            got = np.asarray(w4a16_gemv_arith(
-                x, q["q4a"], q["gs"], interpret=True, mixed=mixed))
-            np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+        got = np.asarray(w4a16_gemv_arith(
+            x, q["q4a"], q["gs"], interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
 
 
 def test_int4_arith_layout_matches_halves_logits():
