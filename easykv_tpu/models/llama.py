@@ -265,13 +265,18 @@ def forward(
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk through all layers. Returns (logits (B, C, V) f32, new cache)."""
     B, C = token_ids.shape
-    if C == 1 and not streaming and not bootstrap:
+    if C == 1 and not bootstrap:
         # Late-write decode fast path: the new token's K/V joins attention
         # in-flight; all layers' cache writes collapse into one batched
         # scatter after the scan (8 scatters + 1 select per STEP instead of
         # per LAYER — the write-scatter/free-slot small-ops were the top
         # diagnosed decode overhead, RESULTS.md "Known headroom").
-        return _decode_forward(params, cfg, cache, token_ids, ctx, spec)
+        # Streaming (cache-relative RoPE) rides the same path since r3: the
+        # cached K stays raw, rotation happens at attend time by age rank
+        # (in-kernel table-pick on TPU), and the per-layer argsorts collapse
+        # into one batched rank computation (VERDICT r2 next #5).
+        return _decode_forward(params, cfg, cache, token_ids, ctx, spec,
+                               streaming=streaming)
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
@@ -406,9 +411,11 @@ def strided_encode_layer_major(
     rep = Hq // Hkv
     from ..ops.pallas.chunk_attention import wa_fits
 
-    use_wa = (use_ck and S % 128 == 0
-              and wa_fits(rep * C, C, S, cfg.head_dim,
-                          cache.k.dtype.itemsize))
+    # The wrapper dispatches internally: one-pass whole-block under the VMEM
+    # cap, S-tiled flash write+attend beyond it (S >= ~8K at D=128) — the
+    # fused path no longer falls back to dense-write + attend at large S
+    # (VERDICT r2 next #4).
+    use_wa = use_ck and S % 128 == 0
     # Full-step fusion (write + attend + score update + evict in one
     # kernel): roco / h2o_head only — tova's encode update needs a
     # cross-head mean, recency/random need rank spans. MEASURED SLOWER than
@@ -417,6 +424,8 @@ def strided_encode_layer_major(
     # program, while the XLA evict batches it over all heads — RESULTS.md
     # "fused-step A/B"); opt-in via EASYKV_TPU_STEP_KERNEL=1.
     use_step = (use_wa and evicting and spec.k == C
+                and wa_fits(rep * C, C, S, cfg.head_dim,
+                            cache.k.dtype.itemsize)
                 and spec.policy in ("roco", "h2o_head")
                 and flags.step_kernel_enabled())
 
@@ -688,6 +697,7 @@ def _decode_forward(
     token_ids: jax.Array,        # (B, 1)
     ctx: StepCtx,
     spec: Optional[PolicySpec],
+    streaming: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode with late cache write.
 
@@ -707,6 +717,8 @@ def _decode_forward(
     use_kernel = cfg.sliding_window is None and _pallas_enabled()
     mesh_info = flags.active_mesh()
     interp = flags.pallas_interpret()
+    if streaming and mesh_info is not None and mesh_info[0].size > 1:
+        use_kernel = False  # streaming kernel has no shard_map wrap yet
     if use_kernel and mesh_info is not None:
         # shard_map needs even shards: batch over data, KV heads over model.
         mesh = mesh_info[0]
@@ -731,20 +743,46 @@ def _decode_forward(
 
     lyr = params["layers"]
     use_mega = (
-        use_kernel and mesh_info is None and B == 1
+        use_kernel and mesh_info is None and B == 1 and not streaming
         and flags.mega_kernel_enabled()
         and isinstance(lyr.get("wqkv"), dict) and "q4a" in lyr["wqkv"]
         and "gs3" in lyr["wqkv"] and "bqkv" not in lyr
         and isinstance(lyr.get("wgu"), dict) and "q4a" in lyr["wgu"]
     )
 
+    if streaming:
+        # Batched cache-relative geometry for ALL layers: one argsort for
+        # the age ranks (vs one per layer in the r2 path) and the rope
+        # tables shared across layers. The new token's relative position is
+        # the pre-write valid count (== post-write rank of the youngest).
+        Sl = cache.pos.shape[-1]
+        ranks_all = _age_ranks(
+            cache.pos.reshape(L * B, Hkv, Sl)).reshape(L, B, Hkv, Sl)
+        n_valid = jnp.sum((cache.pos[:, :, 0, :] >= 0).astype(jnp.int32),
+                          axis=-1)                       # (L, B)
+        ang = (jnp.arange(Sl, dtype=jnp.float32)[:, None] * inv_freq)
+        cos_t = jnp.cos(ang)                             # (S, D/2) f32
+        sin_t = jnp.sin(ang)
+
     def layer(h, xs):
-        p, cl = xs
+        if streaming:
+            p, cl, ranks_l, nv_l = xs
+        else:
+            p, cl = xs
         cl = LayerCache(*cl)
         x = rmsnorm(h, p["ln_attn"], cfg.rms_norm_eps)
         q, k, v = _proj_qkv(x, p, B, 1, Hq, Hkv, Dh)
-        q = apply_rope(q, q_pos[:, None, :], inv_freq)
-        k = apply_rope(k, q_pos[:, None, :], inv_freq)
+        if streaming:
+            # q and the in-flight K rotate by the cache-relative position;
+            # the cached K stays raw and rotates by rank at attend time.
+            q_rel = nv_l[:, None]                        # (B, 1)
+            q_att = apply_rope(q, q_rel[:, None, :], inv_freq)
+            kn_att = apply_rope(k, q_rel[:, None, :], inv_freq)
+            kn_emit = k                                  # cache stores raw K
+        else:
+            q_att = apply_rope(q, q_pos[:, None, :], inv_freq)
+            kn_att = apply_rope(k, q_pos[:, None, :], inv_freq)
+            kn_emit = kn_att
 
         if use_kernel:
             from ..ops.pallas import fused_decode_attend_inflight
@@ -756,21 +794,25 @@ def _decode_forward(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
             )
-            if mesh_info is not None:
+            if streaming:
+                kw.update(rank=ranks_l, cos_t=cos_t, sin_t=sin_t)
+            if mesh_info is not None and not streaming:
                 out, probs_kv, p_new = fused_decode_attend_inflight_sharded(
-                    q, k, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
+                    q_att, kn_att, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
                     mesh=mesh_info[0], data_axis=mesh_info[1],
                     model_axis=mesh_info[2], interpret=interp,
                 )
             else:
                 out, probs_kv, p_new = fused_decode_attend_inflight(
-                    q, k, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
+                    q_att, kn_att, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
                     interpret=interp,
                 )
         else:
             k_raw, v_raw = kv_dequant(cl, h.dtype)
+            if streaming:
+                k_raw = apply_rope(k_raw, ranks_l, inv_freq)
             out, probs_kv, p_new = attend_inflight(
-                q, k, v, k_raw, v_raw, cl.pos, q_pos[:, 0],
+                q_att, kn_att, v, k_raw, v_raw, cl.pos, q_pos[:, 0],
                 sliding_window=cfg.sliding_window, scale=scale,
             )
 
@@ -778,7 +820,7 @@ def _decode_forward(
         h = h + mm(attn_out, p["wo"])
         x2 = rmsnorm(h, p["ln_mlp"], cfg.rms_norm_eps)
         h = h + _mlp(x2, p)
-        return h, (k, v, probs_kv[:, :, 0, :], p_new)
+        return h, (kn_emit, v, probs_kv[:, :, 0, :], p_new)
 
     if use_mega:
         # One-pallas-call decode step: all layers' GEMVs + RoPE + attention
@@ -799,6 +841,10 @@ def _decode_forward(
         vn = vn_m[:, None]
         probs = probs_m[:, None, :, 0, :]         # (L, 1, Hkv, S)
         p_new = pnew_m[:, None, :, None]          # (L, 1, Hkv, 1)
+    elif streaming:
+        h, (kn, vn, probs, p_new) = jax.lax.scan(
+            layer, h, (params["layers"], tuple(cache), ranks_all, n_valid)
+        )
     else:
         h, (kn, vn, probs, p_new) = jax.lax.scan(
             layer, h, (params["layers"], tuple(cache))

@@ -503,6 +503,124 @@ def _wa_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
         last_ref[0, 0] = p_kv[C - 1 :, :]
 
 
+def _wa_flash_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
+                     k_ref, v_ref, pos_ref, score_ref, ssq_ref, cnt_ref,
+                     *rest, scale, rep, C, quantized, mdt):
+    """S-tiled fused write + flash attention (VERDICT r2 next #4): the
+    strided chunk body for contexts whose (S, D) K/V block exceeds VMEM
+    (wa_fits false — e.g. S >= 8K at D=128). Per S-tile: the incoming rows
+    whose target slot falls in this tile are written via the one-hot
+    contraction (bit-identical math to _wa_kernel), then the online-softmax
+    accumulators advance over the UPDATED tile. Scores (ssum/ssq/last) come
+    from the existing _score_kernel second pass over the updated cache."""
+    if quantized:
+        ks_ref, vs_ref = rest[0], rest[1]
+        rest = rest[2:]
+    (out_ref, m_ref, l_ref,
+     ko_ref, vo_ref, poso_ref, scoreo_ref, ssqo_ref, cnto_ref) = rest[:9]
+    rest = rest[9:]
+    if quantized:
+        kso_ref, vso_ref = rest[0], rest[1]
+        rest = rest[2:]
+    acc, m_s, l_s = rest
+    s = pl.program_id(2)
+    nS = pl.num_programs(2)
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+        m_s[:] = jnp.full_like(m_s, NEG_INF)
+        l_s[:] = jnp.zeros_like(l_s)
+
+    TS = k_ref.shape[-2]
+    base = s * TS
+    ids_col = ids_ref[0, 0].reshape(C, 1) - base          # tile-local slots
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, TS), 1)
+    eqb = ids_col == iota                                  # (C, TS)
+    eqf = eqb.astype(jnp.float32)
+    wmask = jnp.max(eqf, axis=0, keepdims=True) > 0        # (1, TS)
+    wm_col = wmask.astype(jnp.int32).reshape(TS, 1) > 0
+
+    kc = kc_ref[0, 0].astype(jnp.float32)                  # (C, D)
+    vc = vc_ref[0, 0].astype(jnp.float32)
+    if quantized:
+        r127 = jnp.float32(1.0 / 127.0)
+        k_amax = jnp.max(jnp.abs(kc), axis=-1, keepdims=True)
+        ksc = jnp.maximum(k_amax, 1e-8) * r127
+        kc = jnp.clip(jnp.round(kc / ksc), -127, 127)
+        v_amax = jnp.max(jnp.abs(vc), axis=-1, keepdims=True)
+        vsc = jnp.maximum(v_amax, 1e-8) * r127
+        vc = jnp.clip(jnp.round(vc / vsc), -127, 127)
+
+    eqm = eqf.astype(mdt)
+
+    def spread(rows):
+        return jax.lax.dot_general(
+            eqm, rows.astype(mdt),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def pick(vals_col):
+        return jnp.max(eqf * vals_col, axis=0, keepdims=True)
+
+    k_new_f = jnp.where(wm_col, spread(kc), k_ref[0, 0].astype(jnp.float32))
+    v_new_f = jnp.where(wm_col, spread(vc), v_ref[0, 0].astype(jnp.float32))
+    ko_ref[0, 0] = k_new_f.astype(ko_ref.dtype)
+    vo_ref[0, 0] = v_new_f.astype(vo_ref.dtype)
+
+    qp = _row_qpos(qpos_ref, rep, C)                       # (rep*C, 1)
+    qp_c = qp[:C].astype(jnp.float32)
+    pos_new = jnp.where(wmask, pick(qp_c).astype(jnp.int32), pos_ref[0, 0])
+    poso_ref[0, 0] = pos_new
+    cnt_col = cinit_ref[0, 0].reshape(C, 1)
+    cnto_ref[0, 0] = jnp.where(wmask, pick(cnt_col), cnt_ref[0, 0])
+    scoreo_ref[0, 0] = jnp.where(wmask, 0.0, score_ref[0, 0])
+    ssqo_ref[0, 0] = jnp.where(wmask, 0.0, ssq_ref[0, 0])
+    if quantized:
+        ks_new = jnp.where(wmask, pick(ksc), ks_ref[0, 0])
+        vs_new = jnp.where(wmask, pick(vsc), vs_ref[0, 0])
+        kso_ref[0, 0] = ks_new
+        vso_ref[0, 0] = vs_new
+
+    # --- flash accumulate over the updated tile ---
+    q = q_ref[0, 0].astype(jnp.float32)                    # (rep*C, D)
+    logits = jax.lax.dot_general(
+        q, k_new_f, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if quantized:
+        logits = logits * ks_new
+    mask = (pos_new >= 0) & (pos_new <= qp)
+    logits = jnp.where(mask, logits, NEG_INF)
+    m_new = jnp.maximum(m_s[:], jnp.max(logits, axis=-1, keepdims=True))
+    e = jnp.where(mask, jnp.exp(logits - m_new), 0.0)
+    c_old = jnp.exp(m_s[:] - m_new)
+    l_s[:] = l_s[:] * c_old + jnp.sum(e, axis=-1, keepdims=True)
+    ev = e * vs_new if quantized else e
+    acc[:] = acc[:] * c_old + jax.lax.dot_general(
+        ev, v_new_f, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_s[:] = m_new
+
+    @pl.when(s == nS - 1)
+    def _():
+        out_ref[0, 0] = (acc[:] / jnp.maximum(l_s[:], 1e-30)
+                         ).astype(out_ref.dtype)
+        m_ref[0, 0] = m_s[:]
+        l_ref[0, 0] = l_s[:]
+
+
+def _flash_tile(S: int) -> int:
+    """Largest tile in (512, 256, 128) dividing the (128-aligned) S — no
+    padding, so the K/V buffer is never copied just to tile it."""
+    for ts in (512, 256, 128):
+        if S % ts == 0:
+            return ts
+    return S
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
 def fused_chunk_write_attend(
     q: jax.Array,         # (B, Hq, C, D)
@@ -536,6 +654,7 @@ def fused_chunk_write_attend(
     quantized = k_scale is not None
     assert S % 128 == 0, "fused write+attend requires lane-aligned S"
     mdt = jnp.float32 if k.dtype == jnp.float32 else jnp.bfloat16
+    onepass = wa_fits(rep * C, C, S, D, k.dtype.itemsize)
 
     qg = q.reshape(B, Hkv, rep * C, D)
     qpos_rows = jnp.tile(q_pos, (1, rep))[:, None, None, :]   # (B,1,1,rep*C)
@@ -568,13 +687,73 @@ def fused_chunk_write_attend(
         in_arrs += [ks4, vs4]
         in_specs += [sS, sS]
 
-    out_specs = [spec((1, 1, rep * C, D), bh), sS, sS, sS,
-                 sKD, sKD, sS, sS, sS, sS]
-    out_shape = [
+    if onepass:
+        out_specs = [spec((1, 1, rep * C, D), bh), sS, sS, sS,
+                     sKD, sKD, sS, sS, sS, sS]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, Hkv, rep * C, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(pos4.shape, jnp.int32),
+            jax.ShapeDtypeStruct(sc4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(sq4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(cn4.shape, jnp.float32),
+        ]
+        # cache arrays update in place: input i -> output i - 2 (k starts at
+        # input 6 / output 4)
+        aliases = {6: 4, 7: 5, 8: 6, 9: 7, 10: 8, 11: 9}
+        if quantized:
+            out_specs += [sS, sS]
+            out_shape += [jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+                          jax.ShapeDtypeStruct(vs4.shape, jnp.float32)]
+            aliases.update({12: 10, 13: 11})
+
+        res = pl.pallas_call(
+            functools.partial(_wa_kernel, scale=scale, rep=rep, C=C,
+                              need_scores=need_scores, quantized=quantized,
+                              mdt=mdt),
+            grid=(B, Hkv),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            input_output_aliases=aliases,
+            interpret=interpret,
+        )(*in_arrs)
+        out, ssum, ssq, last = res[0], res[1], res[2], res[3]
+        k_n, v_n, pos_n, sc_n, sq_n, cn_n = res[4:10]
+        out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
+        stats = ((ssum[:, :, 0, :], ssq[:, :, 0, :], last[:, :, 0, :])
+                 if need_scores else (None, None, None))
+        cache_arrs = (k_n, v_n, pos_n[:, :, 0, :], sc_n[:, :, 0, :],
+                      sq_n[:, :, 0, :], cn_n[:, :, 0, :])
+        if quantized:
+            cache_arrs += (res[10][:, :, 0, :], res[11][:, :, 0, :])
+        return (out,) + stats + (cache_arrs,)
+
+    # --- S-tiled flash write+attend (S beyond the one-pass VMEM cap) ---
+    ts = _flash_tile(S)
+    nS = S // ts
+    bhs = lambda b, h, s: (b, h, 0, 0)
+    b0s = lambda b, h, s: (b, 0, 0, 0)
+    tKD = spec((1, 1, ts, D), lambda b, h, s: (b, h, s, 0))
+    tS = spec((1, 1, 1, ts), lambda b, h, s: (b, h, 0, s))
+    in_specs_f = [spec((1, 1, rep * C, D), bhs), spec((1, 1, C, D), bhs),
+                  spec((1, 1, C, D), bhs), spec((1, 1, 1, C), bhs),
+                  spec((1, 1, 1, rep * C), b0s), spec((1, 1, 1, C), b0s),
+                  tKD, tKD, tS, tS, tS, tS]
+    if quantized:
+        in_specs_f += [tS, tS]
+    out_specs_f = [spec((1, 1, rep * C, D), bhs),
+                   spec((1, 1, rep * C, 1), bhs),
+                   spec((1, 1, rep * C, 1), bhs),
+                   tKD, tKD, tS, tS, tS, tS]
+    out_shape_f = [
         jax.ShapeDtypeStruct((B, Hkv, rep * C, D), q.dtype),
-        jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
-        jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
-        jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+        jax.ShapeDtypeStruct((B, Hkv, rep * C, 1), jnp.float32),
+        jax.ShapeDtypeStruct((B, Hkv, rep * C, 1), jnp.float32),
         jax.ShapeDtypeStruct(k.shape, k.dtype),
         jax.ShapeDtypeStruct(v.shape, v.dtype),
         jax.ShapeDtypeStruct(pos4.shape, jnp.int32),
@@ -582,36 +761,66 @@ def fused_chunk_write_attend(
         jax.ShapeDtypeStruct(sq4.shape, jnp.float32),
         jax.ShapeDtypeStruct(cn4.shape, jnp.float32),
     ]
-    # cache arrays update in place: input i -> output i - 2 (k starts at
-    # input 6 / output 4)
-    aliases = {6: 4, 7: 5, 8: 6, 9: 7, 10: 8, 11: 9}
+    aliases = {6: 3, 7: 4, 8: 5, 9: 6, 10: 7, 11: 8}
     if quantized:
-        out_specs += [sS, sS]
-        out_shape += [jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
-                      jax.ShapeDtypeStruct(vs4.shape, jnp.float32)]
-        aliases.update({12: 10, 13: 11})
-
+        out_specs_f += [tS, tS]
+        out_shape_f += [jax.ShapeDtypeStruct(ks4.shape, jnp.float32),
+                        jax.ShapeDtypeStruct(vs4.shape, jnp.float32)]
+        aliases.update({12: 9, 13: 10})
     res = pl.pallas_call(
-        functools.partial(_wa_kernel, scale=scale, rep=rep, C=C,
-                          need_scores=need_scores, quantized=quantized,
-                          mdt=mdt),
-        grid=(B, Hkv),
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        functools.partial(_wa_flash_kernel, scale=scale, rep=rep, C=C,
+                          quantized=quantized, mdt=mdt),
+        grid=(B, Hkv, nS),
+        in_specs=in_specs_f,
+        out_specs=out_specs_f,
+        out_shape=out_shape_f,
         input_output_aliases=aliases,
+        scratch_shapes=[
+            pltpu.VMEM((rep * C, D), jnp.float32),
+            pltpu.VMEM((rep * C, 1), jnp.float32),
+            pltpu.VMEM((rep * C, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(*in_arrs)
-    out, ssum, ssq, last = res[0], res[1], res[2], res[3]
-    k_n, v_n, pos_n, sc_n, sq_n, cn_n = res[4:10]
+    out, m, l = res[0], res[1], res[2]
+    k_n, v_n, pos_n, sc_n, sq_n, cn_n = res[3:9]
+    ks_n = vs_n = None
+    if quantized:
+        ks_n, vs_n = res[9], res[10]
     out = out.reshape(B, Hkv, rep, C, D).reshape(B, Hq, C, D)
-    stats = ((ssum[:, :, 0, :], ssq[:, :, 0, :], last[:, :, 0, :])
-             if need_scores else (None, None, None))
     cache_arrs = (k_n, v_n, pos_n[:, :, 0, :], sc_n[:, :, 0, :],
                   sq_n[:, :, 0, :], cn_n[:, :, 0, :])
     if quantized:
-        cache_arrs += (res[10][:, :, 0, :], res[11][:, :, 0, :])
-    return (out,) + stats + (cache_arrs,)
+        cache_arrs += (ks_n[:, :, 0, :], vs_n[:, :, 0, :])
+    if not need_scores:
+        return (out, None, None, None, cache_arrs)
+
+    # pass 2: exact score statistics over the UPDATED cache (_score_kernel)
+    ks_spec = [tS] if quantized else []
+    ks_args = (ks_n,) if quantized else ()
+    ssum, ssq, last = pl.pallas_call(
+        functools.partial(_score_kernel, scale=scale, rep=rep, C=C,
+                          quantized=quantized),
+        grid=(B, Hkv, nS),
+        in_specs=[
+            spec((1, 1, rep * C, D), bhs),
+            tKD,
+            tS,
+            spec((1, 1, 1, rep * C), b0s),
+        ] + ks_spec + [
+            spec((1, 1, rep * C, 1), bhs),
+            spec((1, 1, rep * C, 1), bhs),
+        ],
+        out_specs=[tS, tS, tS],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hkv, 1, S), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qg, k_n, pos_n, qpos_rows, *ks_args, m, l)
+    return (out, ssum[:, :, 0, :], ssq[:, :, 0, :], last[:, :, 0, :],
+            cache_arrs)
 
 
 def fused_chunk_write_attend_sharded(

@@ -67,13 +67,24 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
 
 
 def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
-                     *rest, scale, quant, hb):
+                     *rest, scale, quant, hb, streaming=False):
     """_kernel plus an in-flight (not yet cached) token: its logit joins the
     softmax and its value joins the output; emits the GQA-mean probability of
     both the cached slots and the in-flight token (late-write decode path).
 
     `hb` KV heads per program (unrolled): fewer program dispatches and
-    larger contiguous DMA blocks than one-head-per-program."""
+    larger contiguous DMA blocks than one-head-per-program.
+
+    streaming=True (StreamingLLM cache-relative RoPE, reference
+    llama_patch.py:251-379): cached K is stored UN-rotated and each slot is
+    rotated on-chip by its age rank — cos/sin rows come from precomputed
+    (S, D/2) tables via a one-hot (S, S) MXU pick (no per-element
+    transcendentals, no dequantized K copy: rotation is linear, so the int8
+    values rotate raw and the per-slot dequant scale still folds into the
+    logits). q and the in-flight K arrive pre-rotated by the caller."""
+    if streaming:
+        rank_ref, cos_ref, sin_ref = rest[0], rest[1], rest[2]
+        rest = rest[3:]
     if quant:
         ksc_ref, vsc_ref, out_ref, probs_ref, pnew_ref = rest
     else:
@@ -89,6 +100,23 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
         k = k_ref[0, i].astype(jnp.float32)          # (S, D)
         v = v_ref[0, i]                              # (S, D)
         pos = pos_ref[0, i]                          # (1, S)
+        if streaming:
+            S, D = k.shape
+            d2 = D // 2
+            rank = rank_ref[0, i]                    # (1, S)
+            oneh = jnp.where(
+                rank.reshape(S, 1)
+                == jax.lax.broadcasted_iota(jnp.int32, (1, S), 1),
+                1.0, 0.0)                            # (S, S) f32
+            cos_k = jax.lax.dot_general(
+                oneh, cos_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (S, D/2)
+            sin_k = jax.lax.dot_general(
+                oneh, sin_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            k1, k2 = k[:, :d2], k[:, d2:]
+            k = jnp.concatenate(
+                [k1 * cos_k - k2 * sin_k, k2 * cos_k + k1 * sin_k], axis=-1)
 
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -125,7 +153,7 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_decode_attend_inflight(
-    q: jax.Array,       # (B, Hq, 1, D)
+    q: jax.Array,       # (B, Hq, 1, D) rotated
     k_new: jax.Array,   # (B, Hkv, 1, D) unquantized, rotated
     v_new: jax.Array,   # (B, Hkv, 1, D)
     k: jax.Array,       # (B, Hkv, S, D) compute dtype or int8
@@ -134,18 +162,24 @@ def fused_decode_attend_inflight(
     q_pos: jax.Array,   # (B,) int32
     k_scale: Optional[jax.Array] = None,  # (B, Hkv, S) f32 when int8
     v_scale: Optional[jax.Array] = None,
+    rank: Optional[jax.Array] = None,     # (B, Hkv, S) age ranks (streaming)
+    cos_t: Optional[jax.Array] = None,    # (S, D/2) f32 rope tables
+    sin_t: Optional[jax.Array] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Late-write decode attention: the current token's K/V is passed
     directly instead of being scattered into the cache first. Returns
     (out (B, Hq, 1, D), probs_kv (B, Hkv, 1, S) f32, p_new (B, Hkv, 1) f32);
-    see ops.attention.attend_inflight for the semantics."""
+    see ops.attention.attend_inflight for the semantics. With rank/cos_t/
+    sin_t the cached (un-rotated) K is rotated by age rank on-chip —
+    StreamingLLM mode on the same fast path."""
     B, Hq, T, D = q.shape
     assert T == 1
     Hkv, S = k.shape[1], k.shape[2]
     rep = Hq // Hkv
     scale = D ** -0.5
     quant = k_scale is not None
+    streaming = rank is not None
 
     S_pad = ((S + 127) // 128) * 128
     if S_pad != S:
@@ -157,17 +191,23 @@ def fused_decode_attend_inflight(
         if quant:
             k_scale = jnp.pad(k_scale, [(0, 0), (0, 0), (0, S_pad - S)])
             v_scale = jnp.pad(v_scale, [(0, 0), (0, 0), (0, S_pad - S)])
+        if streaming:
+            rank = jnp.pad(rank, [(0, 0), (0, 0), (0, S_pad - S)])
+            cos_t = jnp.pad(cos_t, [(0, S_pad - S), (0, 0)])
+            sin_t = jnp.pad(sin_t, [(0, S_pad - S), (0, 0)])
 
     qg = q.reshape(B, Hkv, rep, D)
     pos4 = kv_pos[:, :, None, :]
 
     # Multi-head-per-program blocking: fewer program dispatches + larger
     # contiguous DMAs, capped so the per-program KV block stays well under
-    # VMEM (hb * S * D * 2 bytes for K+V).
+    # VMEM (hb * S * D * 2 bytes for K+V; the streaming one-hot needs an
+    # extra (S, S) f32 per head, so cap hb harder there).
     hb = 1
+    vmem_cap = (2 if streaming else 4) * 1024 * 1024
     for cand in (8, 4, 2):
         if Hkv % cand == 0 and cand * S_pad * D * 2 * k.dtype.itemsize \
-                <= 4 * 1024 * 1024:
+                <= vmem_cap:
             hb = cand
             break
 
@@ -184,6 +224,13 @@ def fused_decode_attend_inflight(
         spec4((1, hb, 1, S_pad)),
     ]
     inputs = [qg, k_new, v_new, k, v, pos4]
+    if streaming:
+        const2 = lambda shape: pl.BlockSpec(
+            shape, lambda b, h, qp: (0, 0), memory_space=pltpu.VMEM)
+        in_specs += [spec4((1, hb, 1, S_pad)),
+                     const2((S_pad, D // 2)), const2((S_pad, D // 2))]
+        inputs += [rank[:, :, None, :], cos_t.astype(jnp.float32),
+                   sin_t.astype(jnp.float32)]
     if quant:
         in_specs += [spec4((1, hb, 1, S_pad)), spec4((1, hb, 1, S_pad))]
         inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
@@ -196,7 +243,8 @@ def fused_decode_attend_inflight(
                    spec4((1, hb, 1, 128))],
     )
     out, probs, pnew = pl.pallas_call(
-        functools.partial(_kernel_inflight, scale=scale, quant=quant, hb=hb),
+        functools.partial(_kernel_inflight, scale=scale, quant=quant, hb=hb,
+                          streaming=streaming),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
@@ -204,7 +252,8 @@ def fused_decode_attend_inflight(
             jax.ShapeDtypeStruct((B, Hkv, 1, 128), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * Hkv * rep * S_pad * D * 2,
+            flops=2 * B * Hkv * rep * S_pad * D * 2
+            + (2 * B * Hkv * S_pad * S_pad * D if streaming else 0),
             bytes_accessed=B * Hkv * S_pad * D * 2 * k.dtype.itemsize,
             transcendentals=B * Hkv * rep * S_pad,
         ),

@@ -135,7 +135,11 @@ def fused_decode_step(
         qpos = qp_ref[0]
 
         def prep_lhs(src, gch, kh):
-            # src (1, 2*kh) f32: halves slices -> masked-replicated LHS
+            # src (1, 2*kh) f32: halves slices -> masked-replicated LHS.
+            # The select stays in f32 (an i1 mask produced by i32 compares
+            # lives in (8,128) tiling and Mosaic cannot relayout it to the
+            # bf16-native (16,128) a bf16 `where` would need); the cast to
+            # the dot dtype happens after.
             xl = src[:, :kh]
             xh = src[:, kh:]
             G = kh // gch
@@ -143,11 +147,11 @@ def fused_decode_step(
                 jax.lax.broadcasted_iota(jnp.int32, (gch, kh), 1) // G
                 == jax.lax.broadcasted_iota(jnp.int32, (gch, kh), 0)
             )
-            z = jnp.zeros((gch, kh), dt)
-            lhsA[0:gch, 0:kh] = jnp.where(mask, xh.astype(dt), z)
-            xb = (xl - xh * 0.0625).astype(dt)
-            lhsBC[0:gch, 0:kh] = jnp.where(mask, xb, z)
-            lhsBC[gch:2 * gch, 0:kh] = jnp.where(mask, xl.astype(dt), z)
+            zf = jnp.zeros((gch, kh), jnp.float32)
+            lhsA[0:gch, 0:kh] = jnp.where(mask, xh, zf).astype(dt)
+            xb = xl - xh * 0.0625
+            lhsBC[0:gch, 0:kh] = jnp.where(mask, xb, zf).astype(dt)
+            lhsBC[gch:2 * gch, 0:kh] = jnp.where(mask, xl, zf).astype(dt)
 
         def mm_tile(p_ref, g_ref, gch, kh):
             p = p_ref[0]                       # (kh, tn) int8 carrier

@@ -276,20 +276,8 @@ class ScheduledBatchEngine:
 
     # -- failure recovery: snapshot / resume ---------------------------------
 
-    def snapshot(self, path: str) -> None:
-        """Persist everything needed to resume in-flight requests after a
-        crash: cache + sidecars, host bookkeeping, sampler key, scheduler
-        rows (native sched_dump). Single snapshot file, atomic rename.
-
-        Requires an addressable cache (single-process; under a multi-process
-        mesh, snapshot per-process state externally or via Orbax)."""
-        import pickle
-
-        assert self.mesh is None or jax.process_count() == 1, (
-            "snapshot() needs an addressable cache"
-        )
-        state = {
-            "cache": [None if x is None else np.asarray(x) for x in self.cache],
+    def _host_state(self) -> dict:
+        return {
             "rng": np.asarray(self.rng),
             "prompt_len": self.prompt_len.copy(),
             "gen_count": self.gen_count.copy(),
@@ -305,32 +293,82 @@ class ScheduledBatchEngine:
                 for rid, r in self.finished.items()
             },
         }
+
+    def snapshot(self, path: str) -> None:
+        """Persist everything needed to resume in-flight requests after a
+        crash: cache + sidecars, host bookkeeping, sampler key, scheduler
+        rows (native sched_dump).
+
+        Single process: one pickle file, atomic rename. Multi-process mesh
+        (VERDICT r2 next #6): `path` becomes a DIRECTORY — the globally
+        sharded cache is written collectively through Orbax (each process
+        writes only its addressable shards), and the host bookkeeping —
+        replicated across processes by the SPMD driver model — is written
+        once by process 0. Every process must call snapshot() (it is a
+        collective)."""
+        import os
+        import pickle
+
+        if self.mesh is not None and jax.process_count() > 1:
+            import orbax.checkpoint as ocp
+            from jax.experimental import multihost_utils
+
+            path = os.path.abspath(path)
+            with ocp.StandardCheckpointer() as ckptr:
+                ckptr.save(os.path.join(path, "cache"), list(self.cache),
+                           force=True)
+            if jax.process_index() == 0:
+                tmp = os.path.join(path, "host.pkl.tmp")
+                with open(tmp, "wb") as f:
+                    pickle.dump(self._host_state(), f)
+                os.replace(tmp, os.path.join(path, "host.pkl"))
+            # no process may report the snapshot done before all have
+            multihost_utils.sync_global_devices("easykv_snapshot")
+            return
+
+        state = {"cache": [None if x is None else np.asarray(x)
+                           for x in self.cache]}
+        state.update(self._host_state())
         tmp = path + ".tmp"
         with open(tmp, "wb") as f:
             pickle.dump(state, f)
-        import os
-
         os.replace(tmp, path)
 
     @classmethod
     def resume(cls, path: str, model, **engine_kwargs) -> "ScheduledBatchEngine":
         """Rebuild an engine (same config knobs as the crashed one) from a
         snapshot(): in-flight requests keep their slots, prefill progress,
-        emitted tokens and cache contents; waiting requests keep FIFO order."""
+        emitted tokens and cache contents; waiting requests keep FIFO order.
+        Directory snapshots (multi-process) restore the cache straight into
+        its NamedShardings — each process reads only its shards."""
+        import os
         import pickle
 
-        with open(path, "rb") as f:
-            state = pickle.load(f)
         eng = cls(model, **engine_kwargs)
         from ..cache import KVCache
 
-        cache = KVCache(*[None if x is None else jnp.asarray(x)
-                          for x in state["cache"]])
-        if eng.mesh is not None:
-            from ..parallel.sharding import shard_cache
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
 
-            cache = shard_cache(cache, eng._mc, eng.mesh)
-        eng.cache = cache
+            with open(os.path.join(path, "host.pkl"), "rb") as f:
+                state = pickle.load(f)
+            abstract = [
+                jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+                for x in eng.cache
+            ]
+            with ocp.StandardCheckpointer() as ckptr:
+                arrs = ckptr.restore(os.path.join(path, "cache"), abstract)
+            eng.cache = KVCache(*arrs)
+        else:
+            with open(path, "rb") as f:
+                state = pickle.load(f)
+            cache = KVCache(*[None if x is None else jnp.asarray(x)
+                              for x in state["cache"]])
+            if eng.mesh is not None:
+                from ..parallel.sharding import shard_cache
+
+                cache = shard_cache(cache, eng._mc, eng.mesh)
+            eng.cache = cache
         eng.rng = jnp.asarray(state["rng"])
         eng.prompt_len = state["prompt_len"]
         eng.gen_count = state["gen_count"]

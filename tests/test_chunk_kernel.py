@@ -427,3 +427,72 @@ def test_fused_chunk_step_matches_unfused(policy, gates, quantized):
     np.testing.assert_array_equal(wm_ids, np.sort(np.asarray(wids_ref),
                                                   axis=-1))
     assert np.all(np.asarray(wm_next).sum(-1) == C)
+
+
+@pytest.mark.parametrize("quantized", [False, True])
+def test_fused_write_attend_flash_path_matches(quantized, monkeypatch):
+    """S-tiled flash write+attend (VERDICT r2 next #4): with the one-pass
+    VMEM gate forced off, the tiled variant (write on the resident tile +
+    online softmax + _score_kernel second pass) must match
+    write_tokens_dense + fused_chunk_attend, cache arrays included."""
+    from easykv_tpu.cache import LayerCache, quantize_kv, write_tokens_dense
+    from easykv_tpu.ops.pallas import chunk_attention as ca
+
+    monkeypatch.setattr(ca, "wa_fits", lambda *a: False)
+
+    B, Hkv, rep, C, S, D = 2, 2, 2, 8, 384, 64  # S=384 -> 3 tiles of 128
+    Hq = Hkv * rep
+    rng = np.random.default_rng(33)
+    kf = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    vf = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    if quantized:
+        k, ks = quantize_kv(kf)
+        v, vs = quantize_kv(vf)
+    else:
+        k, v = kf, vf
+        ks = vs = jnp.zeros((B, Hkv, 1), jnp.float32)
+    pos = rng.integers(0, 90, size=(B, Hkv, S)).astype(np.int32)
+    pos[:, :, ::3] = -1
+    f3 = lambda: jnp.asarray(
+        np.abs(rng.normal(size=(B, Hkv, S))).astype(np.float32))
+    cl = LayerCache(k=k, v=v, pos=jnp.asarray(pos), score=f3(),
+                    score_sq=f3(), counter=f3(), k_scale=ks, v_scale=vs)
+
+    q = jnp.asarray(rng.normal(size=(B, Hq, C, D)), jnp.float32)
+    k_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    v_c = jnp.asarray(rng.normal(size=(B, Hkv, C, D)), jnp.float32)
+    q_pos = jnp.broadcast_to(90 + jnp.arange(C, dtype=jnp.int32)[None], (B, C))
+    cinit = jnp.asarray(np.abs(rng.normal(size=(B, C))).astype(np.float32))
+    # target slots deliberately spread across all three tiles
+    ids = np.stack([rng.choice(S, size=C, replace=False)
+                    for _ in range(B * Hkv)]).reshape(B, Hkv, C).astype(
+                        np.int32)
+    ids = jnp.asarray(ids)
+
+    ref_cl = write_tokens_dense(cl, k_c, v_c, q_pos, cinit, ids)
+    ref = ca.fused_chunk_attend(
+        q, ref_cl.k, ref_cl.v, ref_cl.pos, q_pos,
+        k_scale=ref_cl.k_scale if quantized else None,
+        v_scale=ref_cl.v_scale if quantized else None,
+        interpret=True, need_scores=True)
+
+    got = ca.fused_chunk_write_attend(
+        q, k_c, v_c, ids, q_pos, cinit,
+        cl.k, cl.v, cl.pos, cl.score, cl.score_sq, cl.counter,
+        k_scale=cl.k_scale if quantized else None,
+        v_scale=cl.v_scale if quantized else None,
+        interpret=True, need_scores=True)
+    out, ssum, ssq, last = got[:4]
+    cache_arrs = got[4]
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref[0]),
+                               atol=1e-5, rtol=1e-5)
+    for g, r in zip((ssum, ssq, last), ref[1:]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=1e-5, rtol=1e-5)
+    names = ["k", "v", "pos", "score", "score_sq", "counter"] + (
+        ["k_scale", "v_scale"] if quantized else [])
+    for name, g in zip(names, cache_arrs):
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.asarray(getattr(ref_cl, name)),
+                                      err_msg=name)

@@ -132,7 +132,7 @@ print(f"proc {proc}: serving multihost ok", flush=True)
 """
 
 
-def _run_two_process(tmp_path, worker_src, expect):
+def _run_two_process(tmp_path, worker_src, expect, extra_args=()):
     import socket
 
     with socket.socket() as s:
@@ -144,7 +144,7 @@ def _run_two_process(tmp_path, worker_src, expect):
                JAX_PLATFORMS="")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i), "2", port],
+            [sys.executable, str(script), str(i), "2", port, *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for i in range(2)
@@ -162,6 +162,64 @@ def _run_two_process(tmp_path, worker_src, expect):
         assert expect in out
 
 
+SNAPSHOT_WORKER = r"""
+import os, sys
+proc = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+mode = sys.argv[4]; snapdir = sys.argv[5]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}", num_processes=nproc, process_id=proc
+)
+sys.path.insert(0, os.environ["REPO"])
+import numpy as np
+from easykv_tpu import CausalLM, ModelConfig, generate
+from easykv_tpu.config import MeshConfig
+from easykv_tpu.models import llama
+from easykv_tpu.parallel import make_mesh
+from easykv_tpu.serving import Request
+from easykv_tpu.serving.scheduled import ScheduledBatchEngine
+
+cfg = ModelConfig(vocab_size=96, hidden_size=32, intermediate_size=64,
+                  num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=4, head_dim=8,
+                  max_position_embeddings=256)
+params = llama.init_params(cfg, jax.random.PRNGKey(0))
+rng = np.random.default_rng(5)
+prompts = [rng.integers(1, 90, size=(n,)) for n in (14, 9)]
+mc = MeshConfig(data=2, model=4)
+kw = dict(batch_slots=2, max_prompt=32, budget=6, kv_policy="roco",
+          temperature=1e-9, top_p=1.0, prefill_chunk=16,
+          mesh=make_mesh(mc), mesh_config=mc)
+
+if mode == "crash":
+    eng = ScheduledBatchEngine(CausalLM(cfg, params), **kw)
+    for i, p in enumerate(prompts):
+        eng.submit(Request(request_id=i, ids=p, max_new_tokens=8))
+    # run past prefill into mid-generation, then "crash" (snapshot + exit)
+    for _ in range(4):
+        eng.tick()
+    assert eng.requests, "must die with requests still in flight"
+    eng.snapshot(snapdir)
+    print(f"proc {proc}: crashed mid-flight ok", flush=True)
+else:
+    singles = [
+        generate(CausalLM(cfg, params), p,
+                 {"budget": 6, "kv_policy": "roco", "max_new_tokens": 8,
+                  "temperature": 1e-9, "top_p": 1.0, "eos_token_ids": []},
+                 kv_mode="decoding")
+        for p in prompts
+    ]
+    eng = ScheduledBatchEngine.resume(snapdir, CausalLM(cfg, params), **kw)
+    assert eng.requests, "snapshot should carry in-flight requests"
+    outs = eng.run_all()
+    for i in range(2):
+        assert outs[i] == singles[i], (proc, i, outs[i], singles[i])
+    print(f"proc {proc}: resume multihost ok", flush=True)
+"""
+
+
 @pytest.mark.skipif(os.environ.get("EASYKV_SKIP_MULTIHOST") == "1",
                     reason="multihost test disabled")
 def test_two_process_mesh(tmp_path):
@@ -175,3 +233,17 @@ def test_two_process_scheduled_serving(tmp_path):
     engine with slots sharded over `data` across 2 processes emits exactly
     the single-request engine's greedy tokens."""
     _run_two_process(tmp_path, SERVING_WORKER, "serving multihost ok")
+
+
+@pytest.mark.skipif(os.environ.get("EASYKV_SKIP_MULTIHOST") == "1",
+                    reason="multihost test disabled")
+def test_two_process_snapshot_resume(tmp_path):
+    """Multi-process failure recovery (VERDICT r2 next #6): both processes
+    die mid-generation after a collective Orbax snapshot (globally sharded
+    cache + replicated host bookkeeping); a fresh 2-process launch resumes
+    and the final tokens equal the uninterrupted single-request run."""
+    snapdir = str(tmp_path / "snap")
+    _run_two_process(tmp_path, SNAPSHOT_WORKER, "crashed mid-flight ok",
+                     extra_args=("crash", snapdir))
+    _run_two_process(tmp_path, SNAPSHOT_WORKER, "resume multihost ok",
+                     extra_args=("resume", snapdir))

@@ -138,3 +138,35 @@ def test_streaming_generation_runs_with_eviction():
         kv_mode="decoding",
     )
     assert len(out) == 12
+
+
+def test_streaming_decode_kernel_matches_xla_path():
+    """The streaming inflight kernel (in-kernel rank-rotation via the
+    cos/sin table pick) vs the XLA fallback (rope on the dequantized cache):
+    same logits and cache trajectory over several eviction steps."""
+    import numpy as np
+
+    from easykv_tpu import CausalLM, flags, generate
+    from easykv_tpu.config import ModelConfig
+    from easykv_tpu.models import llama
+
+    cfg = ModelConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(7))
+    rng = np.random.default_rng(17)
+    ids = rng.integers(1, 90, size=(21,))
+    gc = {"budget": 8, "kv_policy": "roco", "max_new_tokens": 16,
+          "temperature": 1e-9, "top_p": 1.0, "streaming": True,
+          "eos_token_ids": []}
+    ref = generate(CausalLM(cfg, params), ids, dict(gc),
+                   kv_mode="decoding", stride=1)
+    flags.use_pallas(True)
+    try:
+        got = generate(CausalLM(cfg, params), ids, dict(gc),
+                       kv_mode="decoding", stride=1)
+    finally:
+        flags.use_pallas(None)
+    assert got == ref, (got, ref)
