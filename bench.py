@@ -72,10 +72,12 @@ def fake_int8_params(cfg):
     }
 
 
-def fake_int4_params(cfg, group=128):
-    """Deterministic packed-int4 weights (halves packing, group-128 scales),
-    built host-side like fake_int8_params. The lm head stays int8 (the
-    production quantize_params_int4 default)."""
+def fake_int4_params(cfg, group=128, layout="arith"):
+    """Deterministic int4 weights (group-128 scales), built host-side like
+    fake_int8_params. layout="arith" (the r3 default — plain-int8 carrier
+    consumed by the fused one-call decode kernel) or "halves" (bit-packed,
+    s4-materialized, the r2 path; EASYKV_BENCH_W4_LAYOUT=halves). The lm
+    head stays int8 (the production quantize_params_int4 default)."""
     L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     V = cfg.vocab_size
@@ -83,13 +85,17 @@ def fake_int4_params(cfg, group=128):
     def qlin4(shape, seed):
         K = shape[-2]
         pshape = shape[:-2] + (K // 2, shape[-1])
+        gshape = shape[:-2] + (K // group, shape[-1])
+        gs = jnp.full(gshape, (K ** -0.5) / 7.0, jnp.float32)
+        if layout == "arith":
+            # arithmetic carrier: any byte of the form 16*hi+lo with nibbles
+            # in [-7,7] == any value in [-119, 119]
+            return {"q4a": _dev_bytes(tuple(pshape), 239, seed), "gs": gs}
         # on-device nibble pack: two 4-bit values per byte
         lo = _dev_bytes(tuple(pshape), 15, seed)
         hi = _dev_bytes(tuple(pshape), 15, seed + 1)
         packed = jnp.bitwise_or(jnp.bitwise_and(lo, jnp.int8(0x0F)),
                                 jnp.left_shift(hi, 4))
-        gshape = shape[:-2] + (K // group, shape[-1])
-        gs = jnp.full(gshape, (K ** -0.5) / 7.0, jnp.float32)
         return {"q4p": packed, "gs": gs}
 
     base = fake_int8_params(cfg)
@@ -153,7 +159,9 @@ def main():
                                        dtype=jnp.float32)
             return CausalLM(cfg, params, dtype="float32"), "tiny_cpu"
         t0 = time.time()
-        params = fake_int4_params(cfg) if fmt == "int4" else fake_int8_params(cfg)
+        lay = os.environ.get("EASYKV_BENCH_W4_LAYOUT", "arith")
+        params = (fake_int4_params(cfg, layout=lay) if fmt == "int4"
+                  else fake_int8_params(cfg))
         if os.environ.get("EASYKV_BENCH_FUSED", "1") != "0":
             # fused wqkv/wgu single-GEMV layout: 4 weight streams per layer
             # instead of 7 (bit-exact; test_quant.py::test_fused_gemv_params)

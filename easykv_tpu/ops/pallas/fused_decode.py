@@ -50,6 +50,9 @@ DN = (((1,), (0,)), ((), ()))
 
 
 def _pick_tn(Kh: int, N: int) -> int:
+    # ~1 MB carrier tiles: double-buffered across 4 weight inputs they are
+    # the bulk of the kernel's VMEM (16 MB/core); larger tiles OOM the
+    # scoped allocation at full-cache S.
     for tn in (512, 256, 128):
         if N % tn == 0 and Kh * tn <= (3 << 20) // 2:
             return tn
@@ -58,7 +61,7 @@ def _pick_tn(Kh: int, N: int) -> int:
 
 def _pick_hb(Hkv: int, S: int, Dh: int, itemsize: int) -> int:
     for hb in (8, 4, 2):
-        if Hkv % hb == 0 and hb * S * Dh * itemsize <= 1 << 20:
+        if Hkv % hb == 0 and hb * S * Dh * itemsize <= 1 << 19:
             return hb
     return 1
 
@@ -100,7 +103,7 @@ def fused_decode_step(
     wg_p, wg_g = layers["wgu"]["q4a"], layers["wgu"]["gs3"]
     wd_p, wd_g = layers["wd"]["q4a"], layers["wd"]["gs3"]
 
-    gq, go, gg, gd = (t.shape[1] // 3 for t in (wq_g, wo_g, wg_g, wd_g))
+    gq, go, gg, gd = (t.shape[1] // 2 for t in (wq_g, wo_g, wg_g, wd_g))
     khq, kho, khd = D // 2, (Hq * Dh) // 2, F // 2
 
     tnq, tno = _pick_tn(khq, Nq), _pick_tn(kho, D)
@@ -113,6 +116,20 @@ def fused_decode_step(
 
     gch_max = max(gq, go, gg, gd)
     kh_max = max(khq, kho, khd)
+    GCH_MAX = gch_max
+    import os
+
+    # int8-MXU two-plane activation feed (see prep_lhs): default ON —
+    # measured faster than the mixed bf16*int8 feed and numerically tighter
+    # than bf16 rounding. EASYKV_TPU_MEGA_A8=0 for the mixed-feed A/B.
+    a8 = os.environ.get("EASYKV_TPU_MEGA_A8", "1") not in ("0", "false",
+                                                           "off")
+    # Timing-only debug knobs (results become garbage): compile out the
+    # attention math / the LHS prep to attribute the kernel's non-stream
+    # time. EASYKV_TPU_MEGA_SKIP=attn | prep | attn,prep
+    _skip = os.environ.get("EASYKV_TPU_MEGA_SKIP", "")
+    skip_attn = "attn" in _skip
+    skip_prep = "prep" in _skip
 
     # cos/sin of the current position (f32, matches ops.rope.apply_rope)
     from ..rope import rope_base_for, rope_inv_freq
@@ -129,41 +146,98 @@ def fused_decode_step(
             ksc_r, vsc_r = rest[0], rest[1]
             rest = rest[2:]
         h_out, kn_o, vn_o, probs_o, pnew_o = rest[:5]
-        h_s, lhsA, lhsBC, qkv_s, attn_s, gu_s, swig_s = rest[5:]
+        h_s, lhsA, lhsBC, sr_s, qkv_s, attn_s, gu_s, swig_s, xh_s = rest[5:]
         l = pl.program_id(0)
         t = pl.program_id(1)
         qpos = qp_ref[0]
 
-        def prep_lhs(src, gch, kh):
-            # src (1, 2*kh) f32: halves slices -> masked-replicated LHS.
-            # The select stays in f32 (an i1 mask produced by i32 compares
-            # lives in (8,128) tiling and Mosaic cannot relayout it to the
-            # bf16-native (16,128) a bf16 `where` would need); the cast to
-            # the dot dtype happens after.
-            xl = src[:, :kh]
-            xh = src[:, kh:]
+        def _masked(src_vec, gch, kh):
             G = kh // gch
             mask = (
                 jax.lax.broadcasted_iota(jnp.int32, (gch, kh), 1) // G
                 == jax.lax.broadcasted_iota(jnp.int32, (gch, kh), 0)
             )
-            zf = jnp.zeros((gch, kh), jnp.float32)
-            lhsA[0:gch, 0:kh] = jnp.where(mask, xh, zf).astype(dt)
-            xb = xl - xh * 0.0625
-            lhsBC[0:gch, 0:kh] = jnp.where(mask, xb, zf).astype(dt)
-            lhsBC[gch:2 * gch, 0:kh] = jnp.where(mask, xl, zf).astype(dt)
+            return jnp.where(mask, src_vec, jnp.zeros((gch, kh), jnp.float32))
+
+        def prep_lhs(src, gch, kh):
+            if skip_prep:
+                return
+            # src (1, 2*kh) f32: halves slices -> masked-replicated LHS.
+            # The select stays in f32 (an i1 mask produced by i32 compares
+            # lives in (8,128) tiling and Mosaic cannot relayout it to the
+            # bf16-native (16,128) a bf16 `where` would need).
+            xl = src[:, :kh]
+            # realign the hi half through scratch: a slice starting at a
+            # non-tile-aligned lane offset (kh % 512 != 0, e.g. wd's 5504)
+            # cannot be broadcast by Mosaic ("Invalid input layout")
+            xh_s[0:1, 0:kh] = src[:, kh:]
+            xh = xh_s[0:1, 0:kh]
+            A = _masked(xh, gch, kh)
+            Bv = _masked(xl - xh * 0.0625, gch, kh)
+            Cv = _masked(xl, gch, kh)
+            if not a8:
+                lhsA[0:gch, 0:kh] = A.astype(dt)
+                lhsBC[0:gch, 0:kh] = Bv.astype(dt)
+                lhsBC[gch:2 * gch, 0:kh] = Cv.astype(dt)
+                return
+            # int8-MXU feed: each row quantized to TWO int8 planes
+            # X ~= sr * (P1 + P2/127), |err| <= sr/(2*127) — tighter than
+            # the bf16 rounding the mixed feed pays, and the dots run on
+            # the int8 MXU with no operand converts (RESULTS.md r3 probes:
+            # 620 vs 552 GB/s chain rate).
+
+            def planes(X, row0, off2, ka):
+                sr = jnp.maximum(jnp.max(jnp.abs(X), axis=-1, keepdims=True),
+                                 1e-30) * jnp.float32(1.0 / 127.0)
+                x1 = jnp.round(X / sr)
+                p1 = jnp.clip(x1, -127, 127)
+                p2 = jnp.clip(jnp.round((X / sr - p1) * 127.0), -127, 127)
+                ka[row0:row0 + gch, 0:kh] = p1.astype(jnp.int8)
+                ka[off2 + row0:off2 + row0 + gch, 0:kh] = p2.astype(jnp.int8)
+                return sr
+
+            sr_s[0:gch, 0:1] = planes(A, 0, GCH_MAX, lhsA)
+            sr_s[GCH_MAX:GCH_MAX + gch, 0:1] = planes(
+                Bv, 0, 2 * GCH_MAX, lhsBC)
+            sr_s[2 * GCH_MAX:2 * GCH_MAX + gch, 0:1] = planes(
+                Cv, gch, 2 * GCH_MAX, lhsBC)
 
         def mm_tile(p_ref, g_ref, gch, kh):
             p = p_ref[0]                       # (kh, tn) int8 carrier
             u = _shl4_i8(p)                    # 16*lo
-            a = jax.lax.dot_general(
+            g2 = g_ref[0].astype(jnp.float32)             # (2gch, tn)
+            if not a8:
+                a = jax.lax.dot_general(
+                    lhsA[0:gch, 0:kh], p, dimension_numbers=DN,
+                    preferred_element_type=jnp.float32)
+                bc = jax.lax.dot_general(
+                    lhsBC[0:2 * gch, 0:kh], u, dimension_numbers=DN,
+                    preferred_element_type=jnp.float32)
+                # sA == sB: A + B collapse before scaling (w4_stream)
+                r = jnp.concatenate([a + bc[:gch], bc[gch:]], axis=0)
+                return jnp.sum(r * g2, axis=0, keepdims=True)
+            r127 = jnp.float32(1.0 / 127.0)
+            ra = jax.lax.dot_general(
                 lhsA[0:gch, 0:kh], p, dimension_numbers=DN,
-                preferred_element_type=jnp.float32)
-            bc = jax.lax.dot_general(
+                preferred_element_type=jnp.int32)
+            ra2 = jax.lax.dot_general(
+                lhsA[GCH_MAX:GCH_MAX + gch, 0:kh], p, dimension_numbers=DN,
+                preferred_element_type=jnp.int32)
+            af = (ra.astype(jnp.float32) + ra2.astype(jnp.float32) * r127
+                  ) * sr_s[0:gch, 0:1]
+            rbc = jax.lax.dot_general(
                 lhsBC[0:2 * gch, 0:kh], u, dimension_numbers=DN,
-                preferred_element_type=jnp.float32)
-            r = jnp.concatenate([a, bc], axis=0)      # (3gch, tn)
-            return jnp.sum(r * g_ref[0], axis=0, keepdims=True)  # (1, tn)
+                preferred_element_type=jnp.int32)
+            rbc2 = jax.lax.dot_general(
+                lhsBC[2 * GCH_MAX:2 * GCH_MAX + 2 * gch, 0:kh], u,
+                dimension_numbers=DN, preferred_element_type=jnp.int32)
+            bcf = (rbc.astype(jnp.float32)
+                   + rbc2.astype(jnp.float32) * r127
+                   ) * jnp.concatenate(
+                       [sr_s[GCH_MAX:GCH_MAX + gch, 0:1],
+                        sr_s[2 * GCH_MAX:2 * GCH_MAX + gch, 0:1]], axis=0)
+            r = jnp.concatenate([af + bcf[:gch], bcf[gch:]], axis=0)
+            return jnp.sum(r * g2, axis=0, keepdims=True)
 
         # ---- QKV phases -------------------------------------------------
         @pl.when(t < oA)
@@ -183,6 +257,13 @@ def fused_decode_step(
         # ---- attention phases ------------------------------------------
         @pl.when((t >= oA) & (t < oO))
         def _attn():
+            if skip_attn:
+                for hh in range(hb):
+                    probs_o[0, hh] = jnp.zeros_like(probs_o[0, hh])
+                    kn_o[0, hh] = jnp.zeros_like(kn_o[0, hh])
+                    vn_o[0, hh] = jnp.zeros_like(vn_o[0, hh])
+                    pnew_o[0, hh] = jnp.zeros_like(pnew_o[0, hh])
+                return
             ai = t - oA
             live = qpos >= 0
             d2 = Dh // 2
@@ -321,10 +402,10 @@ def fused_decode_step(
         c2((1, 1, D)),                    # ln_mlp
         const((1, Dh // 2)),              # cos
         const((1, Dh // 2)),              # sin
-        tile3(khq, tnq, oQ, TQ), gtile(3 * gq, tnq, oQ, TQ),
-        tile3(kho, tno, oO, TO), gtile(3 * go, tno, oO, TO),
-        tile3(khq, tng, oG, TG), gtile(3 * gg, tng, oG, TG),
-        tile3(khd, tnd, oD, TD), gtile(3 * gd, tnd, oD, TD),
+        tile3(khq, tnq, oQ, TQ), gtile(2 * gq, tnq, oQ, TQ),
+        tile3(kho, tno, oO, TO), gtile(2 * go, tno, oO, TO),
+        tile3(khq, tng, oG, TG), gtile(2 * gg, tng, oG, TG),
+        tile3(khd, tnd, oD, TD), gtile(2 * gd, tnd, oD, TD),
         ahead((1, 1, hb, S, Dh)),         # k
         ahead((1, 1, hb, S, Dh)),         # v
         ahead_out((1, hb, 1, S)),         # pos (L, Hkv, 1, S)
@@ -359,12 +440,17 @@ def fused_decode_step(
         out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((1, D), jnp.float32),                  # h_s
-            pltpu.VMEM((gch_max, kh_max), dt),                # lhsA
-            pltpu.VMEM((2 * gch_max, kh_max), dt),            # lhsBC
+            (pltpu.VMEM((2 * gch_max, kh_max), jnp.int8) if a8
+             else pltpu.VMEM((gch_max, kh_max), dt)),         # lhsA
+            (pltpu.VMEM((4 * gch_max, kh_max), jnp.int8) if a8
+             else pltpu.VMEM((2 * gch_max, kh_max), dt)),     # lhsBC
+            pltpu.VMEM((3 * gch_max if a8 else 8, 128),
+                       jnp.float32),                          # sr_s
             pltpu.VMEM((1, Nq), jnp.float32),                 # qkv_s
             pltpu.VMEM((1, Hq * Dh), jnp.float32),            # attn_s
             pltpu.VMEM((1, 2 * F), jnp.float32),              # gu_s
             pltpu.VMEM((1, F), jnp.float32),                  # swig_s
+            pltpu.VMEM((1, kh_max), jnp.float32),             # xh_s (realign)
         ],
     )
 

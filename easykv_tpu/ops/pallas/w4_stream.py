@@ -45,7 +45,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MASK_F0 = int(jnp.int32(jnp.uint32(0xF0F0F0F0).view(jnp.int32)))
+import numpy as _np
+
+# 0xF0F0F0F0 as a signed int32 (plain numpy: this module may first be
+# imported inside a jit trace, where module-level jnp ops would be traced)
+_MASK_F0 = int(_np.uint32(0xF0F0F0F0).astype(_np.int32))
 
 
 def _shl4_i8(p):
@@ -87,15 +91,19 @@ def arith_gemv_lhs(x: jax.Array, gch: int):
 
 
 def arith_scale_triple(gs: jax.Array) -> jax.Array:
-    """(.., gc, N) group scales -> (.., 3*gch, N) epilogue scales ordered
-    [A; B; C]: sA = sB = gs_hi/16, sC = (gs_lo - gs_hi)/16."""
+    """(.., gc, N) group scales -> (.., 2*gch, N) epilogue scales for the
+    arithmetic-carrier kernels: since sA == sB == gs_hi/16, the A and B
+    functionals are summed BEFORE scaling, so the epilogue needs only
+    [gs_hi; gs_lo - gs_hi]/16 — one-third less scale traffic than the
+    naive [sA; sB; sC] triple (the scale tensors are streamed every decode
+    step: ~200 MB at 7B)."""
     gc = gs.shape[-2]
     gch = gc // 2
     lo, hi = gs[..., :gch, :], gs[..., gch:, :]
-    return jnp.concatenate([hi, hi, lo - hi], axis=-2) * 0.0625
+    return jnp.concatenate([hi, lo - hi], axis=-2) * 0.0625
 
 
-def _kernel(xa_ref, xbc_ref, p_ref, gs3_ref, o_ref):
+def _kernel(xa_ref, xbc_ref, p_ref, gs2_ref, o_ref):
     p = p_ref[:]                         # (Kh, TN) int8 carrier
     u = _shl4_i8(p)                      # 16*lo
     dn = (((1,), (0,)), ((), ()))
@@ -103,8 +111,10 @@ def _kernel(xa_ref, xbc_ref, p_ref, gs3_ref, o_ref):
                             preferred_element_type=jnp.float32)  # (gch, TN)
     bc = jax.lax.dot_general(xbc_ref[:], u, dimension_numbers=dn,
                              preferred_element_type=jnp.float32)  # (2gch, TN)
-    r = jnp.concatenate([a, bc], axis=0)                          # (3gch, TN)
-    y = jnp.sum(r * gs3_ref[:], axis=0, keepdims=True)
+    gch = a.shape[0]
+    # sA == sB: A and B sum before scaling (see arith_scale_triple)
+    r = jnp.concatenate([a + bc[:gch], bc[gch:]], axis=0)         # (2gch, TN)
+    y = jnp.sum(r * gs2_ref[:].astype(jnp.float32), axis=0, keepdims=True)
     o_ref[:] = y.astype(o_ref.dtype)
 
 
@@ -149,7 +159,7 @@ def w4a16_gemv_arith(
             pl.BlockSpec((2 * gch, Kh), lambda j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Kh, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * gch, tn), lambda j: (0, j),
+            pl.BlockSpec((2 * gch, tn), lambda j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tn), lambda j: (0, j),
@@ -158,7 +168,7 @@ def w4a16_gemv_arith(
         cost_estimate=pl.CostEstimate(
             flops=2 * 3 * gch * Kh * N_pad,
             bytes_accessed=Kh * N_pad + 3 * gch * Kh * 2
-            + 3 * gch * N_pad * 4,
+            + 2 * gch * N_pad * 2,
             transcendentals=0,
         ),
         interpret=interpret,

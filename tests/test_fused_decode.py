@@ -56,7 +56,13 @@ def _build(kv_quant):
 
 
 @pytest.mark.parametrize("kv_quant", [False, True])
-def test_fused_decode_step_matches_scan(kv_quant, monkeypatch):
+@pytest.mark.parametrize("a8", [False, True])
+def test_fused_decode_step_matches_scan(kv_quant, a8, monkeypatch):
+    # a8 = int8-MXU two-plane activation feed: quantizes activations to
+    # ~2^-14 relative (tighter than bf16 but not f32-exact), so the bar
+    # loosens slightly vs the mixed-feed mode's f32 path.
+    monkeypatch.setenv("EASYKV_TPU_MEGA_A8", "1" if a8 else "0")
+    tol = dict(atol=1e-3, rtol=1e-3) if a8 else dict(atol=1e-4, rtol=1e-4)
     cfg, qp, cache = _build(kv_quant)
     tok = jnp.asarray([[7]], jnp.int32)
     dctx = StepCtx(
@@ -80,7 +86,7 @@ def test_fused_decode_step_matches_scan(kv_quant, monkeypatch):
     finally:
         flags.use_pallas(None)
     np.testing.assert_allclose(
-        np.asarray(got_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4)
+        np.asarray(got_logits), np.asarray(ref_logits), **tol)
     for name, a, b in zip(ref_cache._fields, ref_cache, got_cache):
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=1e-4, rtol=1e-4, err_msg=name)
+            np.asarray(b), np.asarray(a), err_msg=name, **tol)
