@@ -10,6 +10,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     globals().get("__file__", "benchmarks/x")))))
 
 import jax
+
+# honor an explicit CPU request (sitecustomize's axon registration overrides
+# the env var alone; same pattern as examples/common.py)
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,8 +33,10 @@ def main():
     model7b = os.environ.get("EASYKV_BENCH_MODEL", "1.1b") == "7b"
     kv_quant = False
     if on_tpu and model7b:
-        # 7B with int8 or int4 weights (EASYKV_BENCH_WEIGHTS) + int8 KV —
-        # the production aggregate-serving configuration
+        # 7B with int8 and/or int4 weights (EASYKV_BENCH_WEIGHTS=int8|int4|
+        # both; `both` interleaves the formats per batch size in ONE
+        # process, the methodology CLAUDE.md prescribes) + int8 KV — the
+        # production aggregate-serving configuration
         from bench import fake_int4_params, fake_int8_params
 
         cfg = ModelConfig(
@@ -37,13 +45,18 @@ def main():
             num_key_value_heads=32, max_position_embeddings=4096,
         )
         dtype, P, gen, budget, batches = jnp.bfloat16, 512, 256, 200, [1, 2, 4, 8]
-        w4 = os.environ.get("EASYKV_BENCH_WEIGHTS", "int8") == "int4"
-        params = fake_int4_params(cfg) if w4 else fake_int8_params(cfg)
+        fmts = {"int8": ("int8",), "int4": ("int4",),
+                "both": ("int8", "int4")}[
+                    os.environ.get("EASYKV_BENCH_WEIGHTS", "int8")]
         from easykv_tpu.ops.quant import fuse_gemv_params
 
-        params = fuse_gemv_params(params)
+        params_by_fmt = {}
+        for f in fmts:
+            p = fake_int4_params(cfg) if f == "int4" else fake_int8_params(cfg)
+            params_by_fmt[f] = fuse_gemv_params(p)
+        jax.block_until_ready(list(params_by_fmt.values()))
         kv_quant = True
-        log(f"7B {'int4' if w4 else 'int8'} weights, int8 KV")
+        log(f"7B {'+'.join(fmts)} weights, int8 KV")
     elif on_tpu:
         cfg = ModelConfig(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
@@ -61,9 +74,13 @@ def main():
         dtype, P, gen, budget, batches = jnp.float32, 64, 32, 16, [1, 4]
         params = llama.init_params(cfg, jax.random.PRNGKey(0), dtype=dtype)
 
-    jax.block_until_ready(params)
-    model = CausalLM(cfg, params, dtype=str(jnp.dtype(dtype)),
-                     kv_quant=kv_quant)
+    if not (on_tpu and model7b):
+        jax.block_until_ready(params)
+        params_by_fmt = {"": params}
+    models = {
+        f: CausalLM(cfg, p, dtype=str(jnp.dtype(dtype)), kv_quant=kv_quant)
+        for f, p in params_by_fmt.items()
+    }
     rng = np.random.default_rng(0)
 
     for B in batches:
@@ -75,17 +92,19 @@ def main():
             kv_quant=kv_quant,
         )
         prompt_len = jnp.full((B,), P, jnp.int32)
-        args = (st, model.params, ids, prompt_len, jnp.float32(1.0),
-                jnp.float32(0.95), jax.random.PRNGKey(0))
-        res = _run_decoding(*args)
-        jax.block_until_ready(res.out_ids)
-        t0 = time.time()
-        res = _run_decoding(*args)
-        jax.block_until_ready(res.out_ids)
-        dt = time.time() - t0
-        total = int(np.asarray(res.n_tokens).sum())
-        log(f"B={B:3d}: {total/dt:9.1f} tok/s aggregate "
-            f"({total/dt/B:7.1f} per stream; {dt:.2f}s)")
+        for f, model in models.items():
+            args = (st, model.params, ids, prompt_len, jnp.float32(1.0),
+                    jnp.float32(0.95), jax.random.PRNGKey(0))
+            res = _run_decoding(*args)
+            jax.block_until_ready(res.out_ids)
+            t0 = time.time()
+            res = _run_decoding(*args)
+            jax.block_until_ready(res.out_ids)
+            dt = time.time() - t0
+            total = int(np.asarray(res.n_tokens).sum())
+            log(f"B={B:3d}{' ' + f if f else ''}: "
+                f"{total/dt:9.1f} tok/s aggregate "
+                f"({total/dt/B:7.1f} per stream; {dt:.2f}s)")
 
 
 if __name__ == "__main__":

@@ -756,13 +756,16 @@ def _decode_forward(
         # tables shared across layers. The new token's relative position is
         # the pre-write valid count (== post-write rank of the youngest).
         Sl = cache.pos.shape[-1]
-        ranks_all = _age_ranks(
-            cache.pos.reshape(L * B, Hkv, Sl)).reshape(L, B, Hkv, Sl)
+        import os as _os
+
+        if "ranks" in _os.environ.get("EASYKV_TPU_STREAM_SKIP", ""):
+            # timing-only debug: attribute the batched argsort's cost
+            ranks_all = jnp.zeros_like(cache.pos)
+        else:
+            ranks_all = _age_ranks(
+                cache.pos.reshape(L * B, Hkv, Sl)).reshape(L, B, Hkv, Sl)
         n_valid = jnp.sum((cache.pos[:, :, 0, :] >= 0).astype(jnp.int32),
                           axis=-1)                       # (L, B)
-        ang = (jnp.arange(Sl, dtype=jnp.float32)[:, None] * inv_freq)
-        cos_t = jnp.cos(ang)                             # (S, D/2) f32
-        sin_t = jnp.sin(ang)
 
     def layer(h, xs):
         if streaming:
@@ -795,7 +798,7 @@ def _decode_forward(
                 v_scale=cl.v_scale if cl.quantized else None,
             )
             if streaming:
-                kw.update(rank=ranks_l, cos_t=cos_t, sin_t=sin_t)
+                kw.update(rank=ranks_l, inv_freq=inv_freq)
             if mesh_info is not None and not streaming:
                 out, probs_kv, p_new = fused_decode_attend_inflight_sharded(
                     q_att, kn_att, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
@@ -1026,13 +1029,12 @@ def _lm_head(h: jax.Array, head) -> jax.Array:
 
 def _age_ranks(pos: jax.Array) -> jax.Array:
     """Rank of each valid slot by position (0 = oldest); invalid slots get
-    rank 0 (masked out of attention anyway). pos: (B, H, S)."""
-    order = jnp.argsort(jnp.where(pos >= 0, pos, jnp.int32(2**31 - 1)), axis=-1)
-    ranks = jnp.zeros_like(pos)
-    ar = jnp.arange(pos.shape[-1], dtype=jnp.int32)
-    ranks = ranks.at[
-        jnp.arange(pos.shape[0])[:, None, None],
-        jnp.arange(pos.shape[1])[None, :, None],
-        order,
-    ].set(jnp.broadcast_to(ar, pos.shape))
+    rank 0 (masked out of attention anyway). pos: (B, H, S).
+
+    Double-argsort (rank = argsort of argsort): XLA lowers a TPU scatter to
+    a serialized per-index loop — the scatter formulation cost ~7 ms/step
+    at 7B streaming-decode shapes (393K indices), two bitonic sorts are
+    ~0.2 ms."""
+    key = jnp.where(pos >= 0, pos, jnp.int32(2**31 - 1))
+    ranks = jnp.argsort(jnp.argsort(key, axis=-1), axis=-1).astype(jnp.int32)
     return jnp.where(pos >= 0, ranks, 0)

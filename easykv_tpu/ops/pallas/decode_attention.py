@@ -29,6 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30  # plain float: jnp constants would be captured as kernel consts
 
+# Timing-only debug knob (results become garbage): compile out the streaming
+# rank-rotation to attribute its share of the step. EASYKV_TPU_STREAM_SKIP=rot
+import os as _os
+
+_SKIP_ROT = "rot" in _os.environ.get("EASYKV_TPU_STREAM_SKIP", "")
+
 
 def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
     if quant:
@@ -77,13 +83,20 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
 
     streaming=True (StreamingLLM cache-relative RoPE, reference
     llama_patch.py:251-379): cached K is stored UN-rotated and each slot is
-    rotated on-chip by its age rank — cos/sin rows come from precomputed
-    (S, D/2) tables via a one-hot (S, S) MXU pick (no per-element
-    transcendentals, no dequantized K copy: rotation is linear, so the int8
-    values rotate raw and the per-slot dequant scale still folds into the
-    logits). q and the in-flight K arrive pre-rotated by the caller."""
+    rotated on-chip by its age rank via a TWO-LEVEL angle decomposition:
+    rank = 128*qh + m, R(rank*theta) = R(qh*128*theta) o R(m*theta), so the
+    cos/sin rows come from one (S, 128) and one (S, S/128) one-hot MXU pick
+    (~25 MFLOP/head at S=768) instead of a full (S, S) pick (~300 MFLOP) —
+    the direct in-kernel transcendental variant measured ~7 us per head
+    (5+ ms/step at 7B). Each f32 table is SPLIT into two bf16 planes
+    (t1 = bf16(t), t2 = bf16(t - t1)) so the picked values reconstruct to
+    ~2^-17 while the dots run at bf16 MXU rate; both tables pack
+    [c1|c2|s1|s2] column-wise so each level is ONE 4*(D/2)-wide dot. No
+    dequantized K copy: rotation is linear, so the int8 values rotate raw
+    and the per-slot dequant scale still folds into the logits. q and the
+    in-flight K arrive pre-rotated by the caller."""
     if streaming:
-        rank_ref, cos_ref, sin_ref = rest[0], rest[1], rest[2]
+        rank_ref, tm_ref, tq_ref = rest[0], rest[1], rest[2]
         rest = rest[3:]
     if quant:
         ksc_ref, vsc_ref, out_ref, probs_ref, pnew_ref = rest
@@ -100,23 +113,33 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
         k = k_ref[0, i].astype(jnp.float32)          # (S, D)
         v = v_ref[0, i]                              # (S, D)
         pos = pos_ref[0, i]                          # (1, S)
-        if streaming:
+        if streaming and not _SKIP_ROT:
             S, D = k.shape
             d2 = D // 2
-            rank = rank_ref[0, i]                    # (1, S)
-            oneh = jnp.where(
-                rank.reshape(S, 1)
-                == jax.lax.broadcasted_iota(jnp.int32, (1, S), 1),
-                1.0, 0.0)                            # (S, S) f32
-            cos_k = jax.lax.dot_general(
-                oneh, cos_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (S, D/2)
-            sin_k = jax.lax.dot_general(
-                oneh, sin_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            rank = rank_ref[0, i].reshape(S, 1)      # (S, 1)
+            dnr = (((1,), (0,)), ((), ()))
+
+            def pick4(idx, width, tref):
+                # one-hot (S, width) @ [c1|c2|s1|s2] (width, 4*d2) -> summed
+                # split planes: (cos, sin) each (S, d2) ~f32-exact
+                oneh = jnp.where(
+                    idx == jax.lax.broadcasted_iota(jnp.int32, (1, width), 1),
+                    1.0, 0.0).astype(jnp.bfloat16)
+                y = jax.lax.dot_general(
+                    oneh, tref[:], dimension_numbers=dnr,
+                    preferred_element_type=jnp.float32)      # (S, 4*d2)
+                return (y[:, :d2] + y[:, d2:2 * d2],
+                        y[:, 2 * d2:3 * d2] + y[:, 3 * d2:])
+
+            cm, sm = pick4(jnp.bitwise_and(rank, 127), 128, tm_ref)
+            cq, sq = pick4(jnp.right_shift(rank, 7),
+                           tq_ref.shape[0], tq_ref)
             k1, k2 = k[:, :d2], k[:, d2:]
+            # R(rank) = R(128*qh) o R(m): two successive Givens rotations
+            k1m = k1 * cm - k2 * sm
+            k2m = k2 * cm + k1 * sm
             k = jnp.concatenate(
-                [k1 * cos_k - k2 * sin_k, k2 * cos_k + k1 * sin_k], axis=-1)
+                [k1m * cq - k2m * sq, k2m * cq + k1m * sq], axis=-1)
 
         logits = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -163,8 +186,7 @@ def fused_decode_attend_inflight(
     k_scale: Optional[jax.Array] = None,  # (B, Hkv, S) f32 when int8
     v_scale: Optional[jax.Array] = None,
     rank: Optional[jax.Array] = None,     # (B, Hkv, S) age ranks (streaming)
-    cos_t: Optional[jax.Array] = None,    # (S, D/2) f32 rope tables
-    sin_t: Optional[jax.Array] = None,
+    inv_freq: Optional[jax.Array] = None,  # (D/2,) f32 rope frequencies
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Late-write decode attention: the current token's K/V is passed
@@ -193,21 +215,17 @@ def fused_decode_attend_inflight(
             v_scale = jnp.pad(v_scale, [(0, 0), (0, 0), (0, S_pad - S)])
         if streaming:
             rank = jnp.pad(rank, [(0, 0), (0, 0), (0, S_pad - S)])
-            cos_t = jnp.pad(cos_t, [(0, S_pad - S), (0, 0)])
-            sin_t = jnp.pad(sin_t, [(0, S_pad - S), (0, 0)])
 
     qg = q.reshape(B, Hkv, rep, D)
     pos4 = kv_pos[:, :, None, :]
 
     # Multi-head-per-program blocking: fewer program dispatches + larger
     # contiguous DMAs, capped so the per-program KV block stays well under
-    # VMEM (hb * S * D * 2 bytes for K+V; the streaming one-hot needs an
-    # extra (S, S) f32 per head, so cap hb harder there).
+    # VMEM (hb * S * D * 2 bytes for K+V).
     hb = 1
-    vmem_cap = (2 if streaming else 4) * 1024 * 1024
     for cand in (8, 4, 2):
         if Hkv % cand == 0 and cand * S_pad * D * 2 * k.dtype.itemsize \
-                <= vmem_cap:
+                <= 4 * 1024 * 1024:
             hb = cand
             break
 
@@ -225,12 +243,26 @@ def fused_decode_attend_inflight(
     ]
     inputs = [qg, k_new, v_new, k, v, pos4]
     if streaming:
+        # Two-level split-bf16 rope tables, [c1|c2|s1|s2] column-packed
+        # (see kernel): level m covers ranks mod 128, level q covers the
+        # rank's 128-block index.
+        def split_tab(rows):
+            ang = (rows.astype(jnp.float32)[:, None]
+                   * inv_freq.astype(jnp.float32)[None, :])
+            c, s = jnp.cos(ang), jnp.sin(ang)
+            c1, s1 = c.astype(jnp.bfloat16), s.astype(jnp.bfloat16)
+            c2 = (c - c1.astype(jnp.float32)).astype(jnp.bfloat16)
+            s2 = (s - s1.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.concatenate([c1, c2, s1, s2], axis=1)
+
+        nq = S_pad // 128
+        tm = split_tab(jnp.arange(128))                  # (128, 2D)
+        tq = split_tab(jnp.arange(nq) * 128)             # (S/128, 2D)
         const2 = lambda shape: pl.BlockSpec(
             shape, lambda b, h, qp: (0, 0), memory_space=pltpu.VMEM)
         in_specs += [spec4((1, hb, 1, S_pad)),
-                     const2((S_pad, D // 2)), const2((S_pad, D // 2))]
-        inputs += [rank[:, :, None, :], cos_t.astype(jnp.float32),
-                   sin_t.astype(jnp.float32)]
+                     const2((128, 2 * D)), const2((nq, 2 * D))]
+        inputs += [rank[:, :, None, :], tm, tq]
     if quant:
         in_specs += [spec4((1, hb, 1, S_pad)), spec4((1, hb, 1, S_pad))]
         inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
@@ -253,7 +285,8 @@ def fused_decode_attend_inflight(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Hkv * rep * S_pad * D * 2
-            + (2 * B * Hkv * S_pad * S_pad * D if streaming else 0),
+            + (2 * B * Hkv * S_pad * (128 + S_pad // 128) * 2 * D
+               if streaming else 0),
             bytes_accessed=B * Hkv * S_pad * D * 2 * k.dtype.itemsize,
             transcendentals=B * Hkv * rep * S_pad,
         ),
