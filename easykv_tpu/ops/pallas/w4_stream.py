@@ -130,6 +130,108 @@ def _pick_tile_n(Kh: int, gch: int, N: int) -> int:
     return 128
 
 
+def _gemm_kernel(xl_ref, xh_ref, p_ref, ga_ref, gc_ref, o_ref, acc_ref, *,
+                 nk):
+    """One scale-group (G=128 carrier rows) per k-step: 2 MXU dots on the
+    carrier planes + the per-group scale epilogue accumulate in f32."""
+    kstep = pl.program_id(2)
+
+    @pl.when(kstep == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    p = p_ref[:]                          # (128, TN) int8 carrier
+    u = _shl4_i8(p)                       # 16*lo
+    xl = xl_ref[:].astype(jnp.float32)    # (TM, 128)
+    xh = xh_ref[:].astype(jnp.float32)
+    dt = xl_ref.dtype
+    a = jax.lax.dot_general(
+        xh.astype(dt), p, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (TM, TN)
+    bc = jax.lax.dot_general(
+        jnp.concatenate([(xl - xh * 0.0625).astype(dt), xl.astype(dt)],
+                        axis=0),
+        u, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                  # (2TM, TN)
+    tm = a.shape[0]
+    # sA == sB: A and B sum before scaling (see arith_scale_triple)
+    acc_ref[:] += (ga_ref[:].astype(jnp.float32) * (a + bc[:tm])
+                   + gc_ref[:].astype(jnp.float32) * bc[tm:])
+
+    @pl.when(kstep == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def w4a16_gemm_arith(
+    x: jax.Array,         # (M, K) bf16/f32, 1 < M
+    p: jax.Array,         # (K/2, N) int8, arithmetic halves packing
+    gs: jax.Array,        # (gc, N) f32 group scales, K/gc == 128
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched x @ dequant_arith(p, gs) -> (M, N) in x.dtype.
+
+    The batched-decode / prefill-chunk widths (1 < M <= ~512) previously
+    ran either the grouped einsum (XLA materializes the unpacked nibble
+    planes: ~2.5x the carrier bytes in HBM traffic) or a dequantize-to-bf16
+    dense dot (~6x) — the reason the dual-format int8 tree (+3.4 GB
+    resident) existed. Here the carrier streams HBM ONCE: grid
+    (M-tiles, N-tiles, K-groups) with one scale group (G=128 carrier rows)
+    per k-step, so the group scales apply as a clean (1, TN) epilogue on
+    the f32 accumulator and no unpacked or dequantized copy ever exists
+    outside VMEM. FLOPs are 3x a plain dot (the 3-functional arithmetic
+    reconstruction), irrelevant until M reaches the compute-bound regime
+    (~512+), where ops.quant._mm_w4a keeps the dense dequant-dot."""
+    M, K = x.shape
+    Kh, N = p.shape
+    gc = gs.shape[0]
+    assert K == 2 * Kh and Kh % 128 == 0 and K // gc == 128
+    nk = Kh // 128
+    gs3 = arith_scale_triple(gs)          # (2*gch, N), gch == nk
+
+    TM = min(256, ((M + 7) // 8) * 8)
+    TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
+    M_pad = ((M + TM - 1) // TM) * TM
+    N_pad = ((N + TN - 1) // TN) * TN
+    if M_pad != M:
+        x = jnp.pad(x, [(0, M_pad - M), (0, 0)])
+    if N_pad != N:
+        p = jnp.pad(p, [(0, 0), (0, N_pad - N)])
+        gs3 = jnp.pad(gs3, [(0, 0), (0, N_pad - N)])
+
+    out = pl.pallas_call(
+        functools.partial(_gemm_kernel, nk=nk),
+        grid=(M_pad // TM, N_pad // TN, nk),
+        in_specs=[
+            # xl = x[:, :Kh] tiles, xh = x[:, Kh:] tiles (same array, the
+            # hi view offset by nk blocks along K)
+            pl.BlockSpec((TM, 128), lambda m, n, k: (m, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, 128), lambda m, n, k: (m, k + nk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, TN), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda m, n, k: (k, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TN), lambda m, n, k: (k + nk, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TM, TN), lambda m, n, k: (m, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M_pad, N_pad), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TM, TN), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * M_pad * Kh * N_pad,
+            bytes_accessed=Kh * N_pad + M_pad * K * x.dtype.itemsize
+            + 2 * gc * N_pad * 4 + M_pad * N_pad * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, x, p, gs3, gs3)
+    return out[:M, :N]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def w4a16_gemv_arith(
     x: jax.Array,         # (1, K) bf16/f32

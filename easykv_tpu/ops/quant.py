@@ -277,8 +277,14 @@ def _mm_w4a(x: jax.Array, p: jax.Array, gs: jax.Array) -> jax.Array:
     M == 1 on TPU: the Pallas streaming GEMV (ops/pallas/w4_stream.py) —
     the carrier streams HBM as plain int8 (700+ GB/s chain rate vs ~548 for
     XLA's s4 layout) and unpacks with one VPU shift + two MXU dots.
-    Otherwise: grouped einsum on the unpacked nibbles (M <= 32) or
-    dequantize-to-dense dot (M > 32), mirroring _mm_w4's width policy."""
+    1 < M <= 512 on TPU (batched decode, prefill chunks): the Pallas
+    batched GEMM (w4a16_gemm_arith) — carrier streamed once, per-group
+    scale epilogue, no unpacked copy in HBM (replaces the dual-format
+    int8 tree's +3.4 GB resident copy at these widths).
+    Otherwise (kernel off / odd group sizes / M > 512 where the
+    3-functional reconstruction's 3x FLOPs would dominate): grouped einsum
+    on the unpacked nibbles (M <= 32) or dequantize-to-dense dot (M > 32),
+    mirroring _mm_w4's width policy."""
     Kh, N = p.shape
     gc = gs.shape[0]
     Gh = Kh // gc
@@ -293,6 +299,15 @@ def _mm_w4a(x: jax.Array, p: jax.Array, gs: jax.Array) -> jax.Array:
             from .pallas.w4_stream import w4a16_gemv_arith
 
             y = w4a16_gemv_arith(x.reshape(1, 2 * Kh), p, gs,
+                                 interpret=flags.pallas_interpret())
+            return y.reshape(lead + (N,))
+    elif M <= 512 and 2 * Kh == gc * 128 and Kh % 128 == 0:
+        from .. import flags
+
+        if flags.w4a_kernel_enabled():
+            from .pallas.w4_stream import w4a16_gemm_arith
+
+            y = w4a16_gemm_arith(x.reshape(M, 2 * Kh), p, gs,
                                  interpret=flags.pallas_interpret())
             return y.reshape(lead + (N,))
     if M > 32:

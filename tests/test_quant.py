@@ -401,6 +401,51 @@ def test_pallas_w4_stream_gemv_parity():
         np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
 
 
+def test_pallas_w4_stream_gemm_parity():
+    """The batched arithmetic-carrier GEMM kernel (interpret mode) vs the
+    dequantized matmul: M across the batched-decode and prefill-chunk
+    widths, N across tile-uneven shapes, f32 exact-path inputs."""
+    from easykv_tpu.ops.pallas.w4_stream import w4a16_gemm_arith
+    from easykv_tpu.ops.quant import quantize_linear_int4
+
+    rng = np.random.default_rng(29)
+    for M, K, N in [(8, 256, 384), (33, 256, 300), (130, 512, 640),
+                    (5, 512, 1024)]:
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+        q = quantize_linear_int4(w, group_size=128, layout="arith")
+        ref = np.asarray(x @ dequantize(q))
+        got = np.asarray(w4a16_gemm_arith(
+            x, q["q4a"], q["gs"], interpret=True))
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
+def test_mm_w4a_routes_batched_kernel():
+    """ops.quant.mm on an arith tree at 1 < M <= 512 takes the batched
+    Pallas GEMM (when the kernel flag is on) and matches the einsum /
+    dequant-dot fallbacks it replaces."""
+    from easykv_tpu import flags
+    from easykv_tpu.ops.quant import mm, quantize_linear_int4
+
+    rng = np.random.default_rng(31)
+    K, N = 512, 384
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+    q = quantize_linear_int4(w, group_size=128, layout="arith")
+    for M in (2, 16, 64):
+        x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32))
+        flags.use_pallas(False)
+        try:
+            ref = np.asarray(mm(x, q))
+        finally:
+            flags.use_pallas(None)
+        flags.use_pallas(True)
+        try:
+            got = np.asarray(mm(x, q))
+        finally:
+            flags.use_pallas(None)
+        np.testing.assert_allclose(got, ref, atol=2e-3, rtol=2e-3)
+
+
 def test_int4_arith_layout_matches_halves_logits():
     """The arith and halves layouts hold IDENTICAL quantized values, so the
     model forward must agree across the two mm paths to fp tolerance."""
