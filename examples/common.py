@@ -68,8 +68,12 @@ def _maybe_quantize(params, args):
 def build_model(args) -> CausalLM:
     dtype = jnp.dtype(args.dtype)
     if args.model:
-        cfg, params = load_hf_checkpoint(args.model, dtype=dtype)
-        params = _maybe_quantize(params, args)
+        # quantization happens per-family DURING the streamed load: the
+        # load-bf16-then-quantize flow would transiently hold both trees on
+        # device (7B int8: 13.5 + 6.7 GB — over a 16 GB chip)
+        q = getattr(args, "quant", "none")
+        cfg, params = load_hf_checkpoint(
+            args.model, dtype=dtype, quantize=None if q == "none" else q)
         tok = None
         try:
             from transformers import AutoTokenizer

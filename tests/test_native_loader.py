@@ -110,6 +110,70 @@ def test_load_dir_and_hf_params(tmp_path):
     )
 
 
+def test_streamed_load_matches_host_path(tmp_path):
+    """load_hf_checkpoint's streamed per-family assembly (+ on-device
+    quantization) vs the host-stacked conversion followed by
+    quantize_params*: identical trees. The streamed path exists so
+    real-weight 7B+ loads never hold both the bf16 and quantized trees on
+    device (RUNBOOK.md)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from easykv_tpu.config import ModelConfig
+    from easykv_tpu.models.hf import (load_hf_checkpoint,
+                                      params_from_hf_state_dict)
+    from easykv_tpu.ops.quant import quantize_params, quantize_params_int4
+
+    D, F, V, L = 64, 128, 48, 2
+    cfg = ModelConfig(
+        vocab_size=V, hidden_size=D, intermediate_size=F,
+        num_hidden_layers=L, num_attention_heads=2,
+    )
+    rng = np.random.default_rng(5)
+    sd = {
+        "model.embed_tokens.weight": rng.normal(size=(V, D)).astype(np.float32),
+        "model.norm.weight": np.ones(D, np.float32),
+        "lm_head.weight": rng.normal(size=(V, D)).astype(np.float32),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}"
+        for nm, shp in (("self_attn.q_proj", (D, D)),
+                        ("self_attn.k_proj", (D, D)),
+                        ("self_attn.v_proj", (D, D)),
+                        ("self_attn.o_proj", (D, D)),
+                        ("mlp.gate_proj", (F, D)), ("mlp.up_proj", (F, D)),
+                        ("mlp.down_proj", (D, F))):
+            sd[f"{p}.{nm}.weight"] = rng.normal(size=shp).astype(np.float32)
+        sd[f"{p}.input_layernorm.weight"] = np.ones(D, np.float32)
+        sd[f"{p}.post_attention_layernorm.weight"] = np.ones(D, np.float32)
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    hf_cfg = {
+        "vocab_size": V, "hidden_size": D, "intermediate_size": F,
+        "num_hidden_layers": L, "num_attention_heads": 2,
+        "num_key_value_heads": 2, "max_position_embeddings": 128,
+        "rms_norm_eps": 1e-6, "tie_word_embeddings": False,
+        "model_type": "llama",
+    }
+    (tmp_path / "config.json").write_text(json.dumps(hf_cfg))
+
+    host = params_from_hf_state_dict(cfg, sd, dtype=jnp.float32)
+    for quant, host_tree in (
+        (None, host),
+        ("int8", quantize_params(host)),
+        ("int4", quantize_params_int4(host, group_size=32)),
+    ):
+        _, got = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32,
+                                    quantize=quant, group_size=32,
+                                    int4_layout="halves")
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6),
+            got, host_tree)
+
+
 def test_views_keep_mapping_alive(tmp_path):
     """Dropping the SafetensorsFile while views circulate must not leave the
     views pointing at unmapped memory (ADVICE r1: owner was a no-op)."""
