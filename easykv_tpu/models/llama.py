@@ -717,8 +717,6 @@ def _decode_forward(
     use_kernel = cfg.sliding_window is None and _pallas_enabled()
     mesh_info = flags.active_mesh()
     interp = flags.pallas_interpret()
-    if streaming and mesh_info is not None and mesh_info[0].size > 1:
-        use_kernel = False  # streaming kernel has no shard_map wrap yet
     if use_kernel and mesh_info is not None:
         # shard_map needs even shards: batch over data, KV heads over model.
         mesh = mesh_info[0]
@@ -799,7 +797,7 @@ def _decode_forward(
             )
             if streaming:
                 kw.update(rank=ranks_l, inv_freq=inv_freq)
-            if mesh_info is not None and not streaming:
+            if mesh_info is not None:
                 out, probs_kv, p_new = fused_decode_attend_inflight_sharded(
                     q_att, kn_att, v, cl.k, cl.v, cl.pos, q_pos[:, 0], **kw,
                     mesh=mesh_info[0], data_axis=mesh_info[1],

@@ -307,6 +307,8 @@ def fused_decode_attend_inflight_sharded(
     q_pos: jax.Array,
     k_scale: Optional[jax.Array] = None,
     v_scale: Optional[jax.Array] = None,
+    rank: Optional[jax.Array] = None,
+    inv_freq: Optional[jax.Array] = None,
     *,
     mesh,
     data_axis: str = "data",
@@ -320,31 +322,37 @@ def fused_decode_attend_inflight_sharded(
     communication — each device runs the kernel on its local (B/d, Hkv/m)
     shard. This is what keeps the fused int8-KV decode path available under
     TP/DP meshes (r1 gated it off to single-chip; VERDICT r1 missing #3).
-    """
+    Streaming (rank + inv_freq) shards like the scales: ranks are per
+    (batch, KV-head) rows, the rope tables are rebuilt per-shard from the
+    replicated inv_freq."""
     from jax.sharding import PartitionSpec as P
 
     d, m = data_axis, model_axis
     p4 = P(d, m, None, None)
     p3 = P(d, m, None)
     quant = k_scale is not None
+    streaming = rank is not None
 
+    args = [q, k_new, v_new, k, v, kv_pos, q_pos]
+    in_specs = [p4, p4, p4, p4, p4, p3, P(d)]
+    kw_keys = []
     if quant:
-        def fn(q_, kn_, vn_, k_, v_, pos_, qp_, ks_, vs_):
-            return fused_decode_attend_inflight(
-                q_, kn_, vn_, k_, v_, pos_, qp_, ks_, vs_, interpret=interpret
-            )
-        args = (q, k_new, v_new, k, v, kv_pos, q_pos, k_scale, v_scale)
-        in_specs = (p4, p4, p4, p4, p4, p3, P(d), p3, p3)
-    else:
-        def fn(q_, kn_, vn_, k_, v_, pos_, qp_):
-            return fused_decode_attend_inflight(
-                q_, kn_, vn_, k_, v_, pos_, qp_, interpret=interpret
-            )
-        args = (q, k_new, v_new, k, v, kv_pos, q_pos)
-        in_specs = (p4, p4, p4, p4, p4, p3, P(d))
+        args += [k_scale, v_scale]
+        in_specs += [p3, p3]
+        kw_keys += ["k_scale", "v_scale"]
+    if streaming:
+        args += [rank, inv_freq]
+        in_specs += [p3, P(None)]
+        kw_keys += ["rank", "inv_freq"]
+
+    def fn(q_, kn_, vn_, k_, v_, pos_, qp_, *rest):
+        kw = dict(zip(kw_keys, rest))
+        return fused_decode_attend_inflight(
+            q_, kn_, vn_, k_, v_, pos_, qp_, interpret=interpret, **kw
+        )
 
     return jax.shard_map(
-        fn, mesh=mesh, in_specs=in_specs, out_specs=(p4, p4, p3),
+        fn, mesh=mesh, in_specs=tuple(in_specs), out_specs=(p4, p4, p3),
         check_vma=False,
     )(*args)
 

@@ -212,6 +212,72 @@ def test_pallas_kernel_under_mesh_matches_xla(data, model):
     )
 
 
+@pytest.mark.parametrize("data,model", [(2, 4)])
+def test_streaming_kernel_under_mesh_matches_xla(data, model):
+    """Streaming (cache-relative RoPE) decode on the inflight kernel under
+    a mesh: the rank rows shard with the cache (data, model) and the rope
+    tables rebuild per shard — must match the XLA fallback path."""
+    from easykv_tpu import flags
+    from easykv_tpu.policies import evict_cache
+
+    mc, mesh, cfg, params = _setup(data, model)
+    B, P_len, budget = max(data, 1), 8, 6
+    rw = int(budget * 0.3)
+    spec = PolicySpec("roco", PHASE_DECODE, 1, 4, rw,
+                      feasible_k=budget - rw, protect_prompt=True)
+    S = P_len + budget + 1
+    cache0 = init_cache(cfg.num_hidden_layers, B, cfg.num_key_value_heads, S,
+                        cfg.head_dim, jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, 64, size=(B, P_len)), jnp.int32)
+    pre_ctx = StepCtx(
+        q_pos=jnp.broadcast_to(jnp.arange(P_len, dtype=jnp.int32)[None], (B, P_len)),
+        token_valid=jnp.ones((B, P_len), bool),
+        counter_init=jnp.zeros((B, P_len), jnp.float32),
+        next_pos=jnp.full((B,), P_len, jnp.int32),
+        prompt_len=jnp.full((B,), P_len, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.zeros((), bool),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+
+    def run(params, cache):
+        # prefix prefill is always non-streaming (engine semantics);
+        # streaming starts at decode
+        logits, cache = llama.forward(params, cfg, cache, ids, pre_ctx, None)
+        tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+        outs = [logits[:, -1]]
+        for t in range(budget + 3):
+            ctx = _decode_ctx(B, P_len + t, P_len, t + 1 > budget)
+            logits, cache = llama.forward(params, cfg, cache, tok, ctx, spec,
+                                          streaming=True)
+            cache = evict_cache(cache, spec, ctx.next_pos, ctx.prompt_len,
+                                ctx.rand_rank, ctx.evict_gate)
+            tok = jnp.argmax(logits[:, -1], -1)[:, None].astype(jnp.int32)
+            outs.append(logits[:, -1])
+        return jnp.stack(outs, 1), cache
+
+    sp = shard_params(params, cfg, mc, mesh)
+    sc = shard_cache(cache0, mc, mesh)
+    ref_logits, ref_cache = jax.jit(run)(sp, sc)  # XLA attend_inflight path
+
+    flags.use_pallas(True)
+    flags.set_active_mesh(mesh, mc.axis_data, mc.axis_model)
+    try:
+        pl_logits, pl_cache = jax.jit(run)(sp, sc)
+    finally:
+        flags.use_pallas(None)
+        flags.set_active_mesh(None)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_logits), np.asarray(pl_logits), atol=2e-4, rtol=2e-3
+    )
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(ref_cache.pos), axis=-1),
+        np.sort(np.asarray(pl_cache.pos), axis=-1),
+    )
+
+
 def test_engine_generate_sharded_int4_matches_single_device():
     """int4 (w4a16, group scales) variant of the sharded-quantized parity
     test: {"q4p","gs"} leaves shard per param_pspecs_tree (group scales keep
