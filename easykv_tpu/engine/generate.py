@@ -959,7 +959,8 @@ def generate(
         pallas=(flags.pallas_enabled(), flags.sidecar_enabled(),
                 flags.layer_major_enabled(), flags.chunk_kernel_mode(),
                 flags.encode_unroll(), flags.dense_write_enabled(),
-                flags.step_kernel_enabled()),
+                flags.step_kernel_enabled(), flags.mega_kernel_enabled(),
+                flags.w4a_kernel_enabled(), flags.pallas_interpret()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

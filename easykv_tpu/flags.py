@@ -225,8 +225,24 @@ def encode_unroll() -> int:
     return int(os.environ.get("EASYKV_TPU_ENCODE_UNROLL", "1"))
 
 
+_INTERPRET_OVERRIDE: Optional[bool] = None
+
+
+def use_interpret(enabled: Optional[bool]) -> None:
+    """Force Pallas interpret mode on/off (None = auto: off on TPU only).
+
+    The TPU lowering smoke gate (tools/tpu_smoke.py, tests/
+    test_tpu_lowering.py) forces False while cross-lowering for platform
+    'tpu' on a CPU host, so Mosaic's block-mapping checks actually run —
+    interpret mode skips exactly the checks that crashed BENCH_r03."""
+    global _INTERPRET_OVERRIDE
+    _INTERPRET_OVERRIDE = enabled
+
+
 def pallas_interpret() -> bool:
     """Pallas kernels need interpret mode off-TPU (CPU mesh tests)."""
+    if _INTERPRET_OVERRIDE is not None:
+        return _INTERPRET_OVERRIDE
     import jax
 
     return jax.default_backend() != "tpu"

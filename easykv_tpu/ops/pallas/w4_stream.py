@@ -130,10 +130,17 @@ def _pick_tile_n(Kh: int, gch: int, N: int) -> int:
     return 128
 
 
-def _gemm_kernel(xl_ref, xh_ref, p_ref, ga_ref, gc_ref, o_ref, acc_ref, *,
-                 nk):
+def _gemm_kernel(xl_ref, xh_ref, p_ref, gs3_ref, o_ref, acc_ref, *, nk):
     """One scale-group (G=128 carrier rows) per k-step: 2 MXU dots on the
-    carrier planes + the per-group scale epilogue accumulate in f32."""
+    carrier planes + the per-group scale epilogue accumulate in f32.
+
+    gs3_ref carries the FULL (2*gch, TN) scale block for this n-tile —
+    Mosaic requires block sublane dims divisible by 8 or equal to the array
+    dim, so the per-k-step (1, TN) row views that crashed BENCH_r03
+    (rc=1, "block shape (1, 512), array shape (32, 12288)") are replaced by
+    in-kernel pl.ds row slices at rows kstep (ga) and kstep+nk (gc). The
+    block's index map depends only on n, so it is fetched once per n-tile
+    and reused across all nk k-steps."""
     kstep = pl.program_id(2)
 
     @pl.when(kstep == 0)
@@ -154,9 +161,10 @@ def _gemm_kernel(xl_ref, xh_ref, p_ref, ga_ref, gc_ref, o_ref, acc_ref, *,
         u, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                  # (2TM, TN)
     tm = a.shape[0]
+    ga = gs3_ref[pl.ds(kstep, 1), :].astype(jnp.float32)        # (1, TN)
+    gc = gs3_ref[pl.ds(kstep + nk, 1), :].astype(jnp.float32)   # (1, TN)
     # sA == sB: A and B sum before scaling (see arith_scale_triple)
-    acc_ref[:] += (ga_ref[:].astype(jnp.float32) * (a + bc[:tm])
-                   + gc_ref[:].astype(jnp.float32) * bc[tm:])
+    acc_ref[:] += ga * (a + bc[:tm]) + gc * bc[tm:]
 
     @pl.when(kstep == nk - 1)
     def _():
@@ -212,9 +220,9 @@ def w4a16_gemm_arith(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, TN), lambda m, n, k: (k, n),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda m, n, k: (k, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TN), lambda m, n, k: (k + nk, n),
+            # full scale block per n-tile (sublane dim == array dim, the
+            # always-legal Mosaic block shape); rows selected in-kernel
+            pl.BlockSpec((2 * nk, TN), lambda m, n, k: (0, n),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, TN), lambda m, n, k: (m, n),
@@ -228,7 +236,7 @@ def w4a16_gemm_arith(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x, x, p, gs3, gs3)
+    )(x, x, p, gs3)
     return out[:M, :N]
 
 
