@@ -152,13 +152,26 @@ def mega_kernel_enabled() -> bool:
     return pallas_enabled()
 
 
+_W4A_KERNEL_OVERRIDE: Optional[bool] = None
+
+
+def use_w4a_kernel(enabled: Optional[bool]) -> None:
+    """Force the Pallas arith-int4 GEMV/GEMM kernels on/off (None = env
+    EASYKV_TPU_W4A_KERNEL, default: follow pallas_enabled)."""
+    global _W4A_KERNEL_OVERRIDE
+    _W4A_KERNEL_OVERRIDE = enabled
+
+
 def w4a_kernel_enabled() -> bool:
-    """Pallas streaming GEMV for ARITHMETIC-packed int4 weights ({"q4a"}
-    linears, ops/pallas/w4_stream.py). Default ON whenever Pallas is —
-    streaming the plain-int8 carrier is the format's entire point; the env
-    knob EASYKV_TPU_W4A_KERNEL=0 drops to the XLA einsum path for A/Bs."""
+    """Pallas streaming GEMV/GEMM for ARITHMETIC-packed int4 weights
+    ({"q4a"} linears, ops/pallas/w4_stream.py). Default ON whenever Pallas
+    is — streaming the plain-int8 carrier is the format's entire point; the
+    env knob EASYKV_TPU_W4A_KERNEL=0 drops to the XLA einsum path for
+    A/Bs."""
     import os
 
+    if _W4A_KERNEL_OVERRIDE is not None:
+        return _W4A_KERNEL_OVERRIDE and pallas_enabled()
     env = os.environ.get("EASYKV_TPU_W4A_KERNEL")
     if env is not None:
         return env not in ("0", "false", "off") and pallas_enabled()

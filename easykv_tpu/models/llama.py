@@ -156,7 +156,7 @@ def _use_chunk_kernel(cfg: ModelConfig, S: int, C: int, kv_itemsize: int,
     shard_map (batch over data, KV heads over model), which needs even
     shards."""
     mode = flags.chunk_kernel_mode()
-    if cfg.sliding_window is not None or mode == "off":
+    if mode == "off":
         return False
     if mode == "auto" and kv_itemsize != 1:
         return False
@@ -169,7 +169,7 @@ def _use_chunk_kernel(cfg: ModelConfig, S: int, C: int, kv_itemsize: int,
     return True
 
 
-def _chunk_attend(cl, q_c, q_pos, need_scores: bool):
+def _chunk_attend(cl, q_c, q_pos, need_scores: bool, window=None):
     """fused_chunk_attend with mesh dispatch: direct pallas_call on a single
     device, shard_map over (data, model) under an active mesh."""
     from ..ops.pallas.chunk_attention import (
@@ -180,7 +180,8 @@ def _chunk_attend(cl, q_c, q_pos, need_scores: bool):
     kw = dict(
         k_scale=cl.k_scale if cl.quantized else None,
         v_scale=cl.v_scale if cl.quantized else None,
-        need_scores=need_scores, interpret=flags.pallas_interpret(),
+        need_scores=need_scores, sliding_window=window,
+        interpret=flags.pallas_interpret(),
     )
     mi = flags.active_mesh()
     if mi is not None and mi[0].size > 1:
@@ -192,7 +193,7 @@ def _chunk_attend(cl, q_c, q_pos, need_scores: bool):
 
 
 def _chunk_write_attend(cl, q_c, k_c, v_c, q_pos, counter_init, ids,
-                        need_scores: bool):
+                        need_scores: bool, window=None):
     """fused_chunk_write_attend (write + 1-pass attend in one kernel) with
     mesh dispatch, returning (out, ssum, ssq, last, new LayerCache)."""
     from ..ops.pallas.chunk_attention import (
@@ -203,7 +204,8 @@ def _chunk_write_attend(cl, q_c, k_c, v_c, q_pos, counter_init, ids,
     kw = dict(
         k_scale=cl.k_scale if cl.quantized else None,
         v_scale=cl.v_scale if cl.quantized else None,
-        need_scores=need_scores, interpret=flags.pallas_interpret(),
+        need_scores=need_scores, sliding_window=window,
+        interpret=flags.pallas_interpret(),
     )
     args = (q_c, k_c, v_c, ids, q_pos, counter_init,
             cl.k, cl.v, cl.pos, cl.score, cl.score_sq, cl.counter)
@@ -221,7 +223,7 @@ def _chunk_write_attend(cl, q_c, k_c, v_c, q_pos, counter_init, ids,
 
 
 def _chunk_step(cl, q_c, k_c, v_c, ctx: StepCtx, wm, next_start, spec,
-                B: int):
+                B: int, window=None):
     """fused_chunk_step (write + attend + score update + evict in one
     kernel) with mesh dispatch. Returns (out, new LayerCache, next write
     mask)."""
@@ -237,7 +239,7 @@ def _chunk_step(cl, q_c, k_c, v_c, ctx: StepCtx, wm, next_start, spec,
         v_scale=cl.v_scale if cl.quantized else None,
         policy=spec.policy, feasible_k=spec.feasible_k,
         sink=spec.sink_length, recent_window=spec.recent_window,
-        interpret=flags.pallas_interpret(),
+        sliding_window=window, interpret=flags.pallas_interpret(),
     )
     args = (q_c, k_c, v_c, wm, ctx.q_pos, ctx.counter_init, ug, eg,
             ctx.next_pos, next_start, cl.k, cl.v, cl.pos, cl.score,
@@ -315,15 +317,17 @@ def forward(
                 q_att, k_att, v_raw, cl.pos, ctx.q_pos,
                 sliding_window=cfg.sliding_window, scale=scale,
             )
-        elif C == 1 and cfg.sliding_window is None and _pallas_enabled():
+        elif C == 1 and _pallas_enabled():
             # Fused decode path: one HBM pass over K/V (int8 if the cache is
             # quantized), probs emitted on-chip (ops/pallas/decode_attention).
+            # Sliding-window (Mistral) is in-kernel since r4.
             from ..ops.pallas import fused_decode_attend
 
             out, probs_kv = fused_decode_attend(
                 q, cl.k, cl.v, cl.pos, ctx.q_pos[:, 0],
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
+                sliding_window=cfg.sliding_window,
             )
         elif _use_chunk_kernel(cfg, cl.k.shape[2], C, cl.k.dtype.itemsize, B):
             # Fused chunk path (strided encoding / prefill): flash attention
@@ -332,7 +336,9 @@ def forward(
             need_scores = spec is not None and (
                 bootstrap or spec.policy in ("h2o_head", "roco", "tova")
             )
-            out, ssum, ssq, last = _chunk_attend(cl, q, ctx.q_pos, need_scores)
+            out, ssum, ssq, last = _chunk_attend(cl, q, ctx.q_pos,
+                                                 need_scores,
+                                                 window=cfg.sliding_window)
             probs_kv = None
             if need_scores:
                 cl = update_scores_reduced(
@@ -461,18 +467,20 @@ def strided_encode_layer_major(
                 # write + attend + score update + evict and emits the next
                 # chunk's mask.
                 out, cl, wids = _chunk_step(cl, q_c, k_c, v_c, ctx, wids,
-                                            wstart + C, spec, B)
+                                            wstart + C, spec, B,
+                                            window=cfg.sliding_window)
                 return (tuple(cl), wids), out
             if use_wa:
                 out, ssum, ssq, last, cl = _chunk_write_attend(
                     cl, q_c, k_c, v_c, ctx.q_pos, ctx.counter_init, wids,
-                    need)
+                    need, window=cfg.sliding_window)
                 if need:
                     cl = update_scores_reduced(cl, ssum, ssq, last, spec,
                                                ctx.update_gate)
             elif use_ck:
                 cl = write(cl, k_c, v_c, ctx.q_pos, ctx.counter_init, wids)
-                out, ssum, ssq, last = _chunk_attend(cl, q_c, ctx.q_pos, need)
+                out, ssum, ssq, last = _chunk_attend(
+                    cl, q_c, ctx.q_pos, need, window=cfg.sliding_window)
                 if need:
                     cl = update_scores_reduced(cl, ssum, ssq, last, spec,
                                                ctx.update_gate)
@@ -575,8 +583,9 @@ def prefill_layer_major(
             cl = write_tokens_slice(cl, k_c, v_c, ctx.q_pos, ctx.counter_init,
                                     start)
             if use_ck:
-                out, ssum, ssq, last = _chunk_attend(cl, q_c, ctx.q_pos,
-                                                     spec is not None)
+                out, ssum, ssq, last = _chunk_attend(
+                    cl, q_c, ctx.q_pos, spec is not None,
+                    window=cfg.sliding_window)
                 if spec is not None:
                     cl = update_scores_reduced(cl, ssum, ssq, last, spec,
                                                ctx.update_gate, bootstrap=True)
@@ -714,7 +723,7 @@ def _decode_forward(
     L, _, _, S = cache.pos.shape
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
-    use_kernel = cfg.sliding_window is None and _pallas_enabled()
+    use_kernel = _pallas_enabled()  # sliding-window is in-kernel since r4
     mesh_info = flags.active_mesh()
     interp = flags.pallas_interpret()
     if use_kernel and mesh_info is not None:
@@ -794,6 +803,7 @@ def _decode_forward(
             kw = dict(
                 k_scale=cl.k_scale if cl.quantized else None,
                 v_scale=cl.v_scale if cl.quantized else None,
+                sliding_window=cfg.sliding_window,
             )
             if streaming:
                 kw.update(rank=ranks_l, inv_freq=inv_freq)

@@ -40,7 +40,7 @@ def _row_qpos(qpos_ref, rep: int, C: int):
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
-                  scale, rep, C, quantized):
+                  scale, rep, C, quantized, window=None):
     if quantized:
         ks_ref, vs_ref = rest[0], rest[1]
         rest = rest[2:]
@@ -68,6 +68,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
         # multiply) and into the e·V accumulation, never materialized.
         logits = logits * ks_ref[0, 0]         # (1, TS) broadcast
     mask = (pos >= 0) & (pos <= qp)
+    if window is not None:
+        mask &= pos > qp - window  # Mistral sliding window (r4)
     logits = jnp.where(mask, logits, NEG_INF)
 
     m_new = jnp.maximum(m_s[:], jnp.max(logits, axis=-1, keepdims=True))
@@ -90,7 +92,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
 
 
 def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, *rest,
-                  scale, rep, C, quantized):
+                  scale, rep, C, quantized, window=None):
     if quantized:
         ks_ref = rest[0]
         rest = rest[1:]
@@ -107,6 +109,8 @@ def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, *rest,
     if quantized:
         logits = logits * ks_ref[0, 0]
     mask = (pos >= 0) & (pos <= qp)
+    if window is not None:
+        mask &= pos > qp - window  # Mistral sliding window (r4)
     p = jnp.where(mask, jnp.exp(logits - m_ref[0, 0]), 0.0)
     p = p / jnp.maximum(l_ref[0, 0], 1e-30)    # exact probabilities (rep*C, TS)
 
@@ -119,7 +123,7 @@ def _score_kernel(q_ref, k_ref, pos_ref, qpos_ref, *rest,
 
 
 def _onepass_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
-                    scale, rep, C, need_scores, quantized):
+                    scale, rep, C, need_scores, quantized, window=None):
     """Single-pass chunk attention: the whole (rep*C, S) logits block lives
     in VMEM, so there is no online-softmax rescale, no second QK pass, and
     no m/l HBM round trip. Valid while the block fits VMEM (gated by the
@@ -142,6 +146,8 @@ def _onepass_kernel(q_ref, k_ref, v_ref, pos_ref, qpos_ref, *rest,
     if quantized:
         logits = logits * ks_ref[0, 0]
     mask = (pos >= 0) & (pos <= qp)
+    if window is not None:
+        mask &= pos > qp - window  # Mistral sliding window (r4)
     logits = jnp.where(mask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.where(mask, jnp.exp(logits - m), 0.0)
@@ -172,7 +178,8 @@ def _onepass_fits(rows: int, S_pad: int, D: int, kv_bytes: int) -> bool:
     return kv + work <= _ONEPASS_VMEM_CAP
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
+@functools.partial(jax.jit, static_argnames=("interpret", "need_scores",
+                                               "sliding_window"))
 def fused_chunk_attend(
     q: jax.Array,        # (B, Hq, C, D)
     k: jax.Array,        # (B, Hkv, S, D) compute dtype or int8
@@ -183,6 +190,7 @@ def fused_chunk_attend(
     v_scale: jax.Array = None,
     interpret: bool = False,
     need_scores: bool = True,
+    sliding_window=None,  # Mistral window (static)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (out (B,Hq,C,D), ssum (B,Hkv,S), ssq (B,Hkv,S),
     last_row (B,Hkv,S)) — the reduced score statistics in slot order
@@ -232,7 +240,8 @@ def fused_chunk_attend(
         sc_args = (ks4, vs4) if quantized else ()
         out, ssum, ssq, last = pl.pallas_call(
             functools.partial(_onepass_kernel, scale=scale, rep=rep, C=C,
-                              need_scores=need_scores, quantized=quantized),
+                              need_scores=need_scores, quantized=quantized,
+                              window=sliding_window),
             grid=(B, Hkv),
             in_specs=[
                 spec((1, 1, rep * C, D), lambda b, h: (b, h, 0, 0)),
@@ -266,7 +275,7 @@ def fused_chunk_attend(
     sc_args = (ks4, vs4) if quantized else ()
     out, m, l = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, rep=rep, C=C,
-                          quantized=quantized),
+                          quantized=quantized, window=sliding_window),
         grid=(B, Hkv, nS),
         in_specs=[
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
@@ -303,7 +312,7 @@ def fused_chunk_attend(
     ks_args = (ks4,) if quantized else ()
     ssum, ssq, last = pl.pallas_call(
         functools.partial(_score_kernel, scale=scale, rep=rep, C=C,
-                          quantized=quantized),
+                          quantized=quantized, window=sliding_window),
         grid=(B, Hkv, nS),
         in_specs=[
             spec((1, 1, rep * C, D), lambda b, h, s: (b, h, 0, 0)),
@@ -350,6 +359,7 @@ def fused_chunk_attend_sharded(
     model_axis: str = "model",
     interpret: bool = False,
     need_scores: bool = True,
+    sliding_window=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """fused_chunk_attend under a (data, model) mesh via shard_map: like the
     decode kernel's sharded wrap (decode_attention.py), the (B, Hkv) grid
@@ -368,6 +378,7 @@ def fused_chunk_attend_sharded(
         return fused_chunk_attend(
             q_, k_, v_, pos_, qp_, k_scale=ks_, v_scale=vs_,
             interpret=interpret, need_scores=need_scores,
+            sliding_window=sliding_window,
         )
 
     args = (q, k, v, kv_pos, q_pos) + ((k_scale, v_scale) if quant else ())
@@ -404,7 +415,7 @@ def wa_fits(rows: int, C: int, S: int, D: int, kv_bytes: int) -> bool:
 
 def _wa_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
                k_ref, v_ref, pos_ref, score_ref, ssq_ref, cnt_ref, *rest,
-               scale, rep, C, need_scores, quantized, mdt):
+               scale, rep, C, need_scores, quantized, mdt, window=None):
     """Fused chunk write + 1-pass attention (strided-encode inner body).
 
     Writes the C incoming rows into the cached (S, D) K/V block in VMEM via
@@ -486,6 +497,8 @@ def _wa_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
     if quantized:
         logits = logits * ks_new
     mask = (pos_new >= 0) & (pos_new <= qp)
+    if window is not None:
+        mask &= pos_new > qp - window  # Mistral sliding window (r4)
     logits = jnp.where(mask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.where(mask, jnp.exp(logits - m), 0.0)
@@ -505,7 +518,7 @@ def _wa_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
 
 def _wa_flash_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
                      k_ref, v_ref, pos_ref, score_ref, ssq_ref, cnt_ref,
-                     *rest, scale, rep, C, quantized, mdt):
+                     *rest, scale, rep, C, quantized, mdt, window=None):
     """S-tiled fused write + flash attention (VERDICT r2 next #4): the
     strided chunk body for contexts whose (S, D) K/V block exceeds VMEM
     (wa_fits false — e.g. S >= 8K at D=128). Per S-tile: the incoming rows
@@ -592,6 +605,8 @@ def _wa_flash_kernel(q_ref, kc_ref, vc_ref, ids_ref, qpos_ref, cinit_ref,
     if quantized:
         logits = logits * ks_new
     mask = (pos_new >= 0) & (pos_new <= qp)
+    if window is not None:
+        mask &= pos_new > qp - window  # Mistral sliding window (r4)
     logits = jnp.where(mask, logits, NEG_INF)
     m_new = jnp.maximum(m_s[:], jnp.max(logits, axis=-1, keepdims=True))
     e = jnp.where(mask, jnp.exp(logits - m_new), 0.0)
@@ -621,7 +636,8 @@ def _flash_tile(S: int) -> int:
     return S
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "need_scores"))
+@functools.partial(jax.jit, static_argnames=("interpret", "need_scores",
+                                               "sliding_window"))
 def fused_chunk_write_attend(
     q: jax.Array,         # (B, Hq, C, D)
     k_c: jax.Array,       # (B, Hkv, C, D) incoming chunk, compute dtype
@@ -639,6 +655,7 @@ def fused_chunk_write_attend(
     v_scale: jax.Array = None,
     interpret: bool = False,
     need_scores: bool = True,
+    sliding_window=None,  # Mistral window (static)
 ):
     """One kernel pass for the strided-encode chunk body: write the chunk
     into the cache (quantizing in-kernel for int8 KV) and attend against the
@@ -714,7 +731,7 @@ def fused_chunk_write_attend(
         res = pl.pallas_call(
             functools.partial(_wa_kernel, scale=scale, rep=rep, C=C,
                               need_scores=need_scores, quantized=quantized,
-                              mdt=mdt),
+                              mdt=mdt, window=sliding_window),
             grid=(B, Hkv),
             in_specs=in_specs,
             out_specs=out_specs,
@@ -769,7 +786,8 @@ def fused_chunk_write_attend(
         aliases.update({12: 9, 13: 10})
     res = pl.pallas_call(
         functools.partial(_wa_flash_kernel, scale=scale, rep=rep, C=C,
-                          quantized=quantized, mdt=mdt),
+                          quantized=quantized, mdt=mdt,
+                          window=sliding_window),
         grid=(B, Hkv, nS),
         in_specs=in_specs_f,
         out_specs=out_specs_f,
@@ -800,7 +818,7 @@ def fused_chunk_write_attend(
     ks_args = (ks_n,) if quantized else ()
     ssum, ssq, last = pl.pallas_call(
         functools.partial(_score_kernel, scale=scale, rep=rep, C=C,
-                          quantized=quantized),
+                          quantized=quantized, window=sliding_window),
         grid=(B, Hkv, nS),
         in_specs=[
             spec((1, 1, rep * C, D), bhs),
@@ -829,6 +847,7 @@ def fused_chunk_write_attend_sharded(
     k_scale=None, v_scale=None, *,
     mesh, data_axis: str = "data", model_axis: str = "model",
     interpret: bool = False, need_scores: bool = True,
+    sliding_window=None,
 ):
     """fused_chunk_write_attend under a (data, model) mesh via shard_map —
     (B, Hkv) grid programs are independent, zero communication (same
@@ -846,7 +865,7 @@ def fused_chunk_write_attend_sharded(
         return fused_chunk_write_attend(
             q_, kc_, vc_, ids_, qp_, ci_, k_, v_, pos_, sc_, sq_, cn_,
             k_scale=ks_, v_scale=vs_, interpret=interpret,
-            need_scores=need_scores,
+            need_scores=need_scores, sliding_window=sliding_window,
         )
 
     args = (q, k_c, v_c, ids, q_pos, counter_init,
@@ -922,7 +941,7 @@ def _step_kernel(q_ref, kc_ref, vc_ref, wm_ref, qpos_ref, cinit_ref,
                  iparams_ref,
                  k_ref, v_ref, pos_ref, score_ref, ssq_ref, cnt_ref, *rest,
                  scale, rep, C, quantized, mdt, policy, feasible_k,
-                 sink, recent_window):
+                 sink, recent_window, window=None):
     """Whole strided-encode chunk body for one (batch, kv-head):
 
       write chunk rows at the carried mask's slots (rank r -> row r) ->
@@ -1013,6 +1032,8 @@ def _step_kernel(q_ref, kc_ref, vc_ref, wm_ref, qpos_ref, cinit_ref,
     if quantized:
         logits = logits * ks_new
     amask = (pos >= 0) & (pos <= qp)
+    if window is not None:
+        amask &= pos > qp - window  # Mistral sliding window (r4)
     logits = jnp.where(amask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.where(amask, jnp.exp(logits - m), 0.0)
@@ -1062,7 +1083,8 @@ def _step_kernel(q_ref, kc_ref, vc_ref, wm_ref, qpos_ref, cinit_ref,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "interpret", "policy", "feasible_k", "sink", "recent_window"))
+    "interpret", "policy", "feasible_k", "sink", "recent_window",
+    "sliding_window"))
 def fused_chunk_step(
     q: jax.Array,          # (B, Hq, C, D)
     k_c: jax.Array,        # (B, Hkv, C, D)
@@ -1078,7 +1100,7 @@ def fused_chunk_step(
     score: jax.Array, score_sq: jax.Array, counter: jax.Array,
     k_scale: jax.Array = None, v_scale: jax.Array = None,
     *, policy: str, feasible_k: int = 0, sink: int = 0,
-    recent_window: int = 0, interpret: bool = False,
+    recent_window: int = 0, sliding_window=None, interpret: bool = False,
 ):
     """Entire strided-encode chunk body in one kernel (write + attend +
     score update + eviction). Returns (out (B,Hq,C,D),
@@ -1153,7 +1175,8 @@ def fused_chunk_step(
         functools.partial(_step_kernel, scale=scale, rep=rep, C=C,
                           quantized=quantized, mdt=mdt, policy=policy,
                           feasible_k=feasible_k, sink=sink,
-                          recent_window=recent_window),
+                          recent_window=recent_window,
+                          window=sliding_window),
         grid=(B, Hkv),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -1180,7 +1203,7 @@ def fused_chunk_step_sharded(
     k_scale=None, v_scale=None, *,
     mesh, data_axis: str = "data", model_axis: str = "model",
     policy: str, feasible_k: int = 0, sink: int = 0, recent_window: int = 0,
-    interpret: bool = False,
+    sliding_window=None, interpret: bool = False,
 ):
     """fused_chunk_step under a (data, model) mesh via shard_map (even
     shards required; programs are fully independent)."""
@@ -1200,7 +1223,8 @@ def fused_chunk_step_sharded(
             q_, kc_, vc_, wm_, qp_, ci_, ug_, eg_, np_, ns_,
             k_, v_, pos_, sc_, sq_, cn_, k_scale=ks_, v_scale=vs_,
             policy=policy, feasible_k=feasible_k, sink=sink,
-            recent_window=recent_window, interpret=interpret,
+            recent_window=recent_window, sliding_window=sliding_window,
+            interpret=interpret,
         )
 
     args = (q, k_c, v_c, write_mask, q_pos, counter_init,

@@ -36,7 +36,8 @@ import os as _os
 _SKIP_ROT = "rot" in _os.environ.get("EASYKV_TPU_STREAM_SKIP", "")
 
 
-def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
+def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant,
+            sliding_window=None):
     if quant:
         ksc_ref, vsc_ref, out_ref, probs_ref = rest
     else:
@@ -55,6 +56,11 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
     if quant:
         logits = logits * ksc_ref[0, 0]           # fold k dequant into logits
     mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
+    if sliding_window is not None:
+        # Mistral sliding-window attention (reference mistral_patch.py:90-186
+        # via HF's window mask): one extra compare, same semantics as
+        # ops.attention.attend
+        mask &= pos > q_pos - sliding_window
     logits = jnp.where(mask, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     e = jnp.exp(logits - m)
@@ -73,7 +79,8 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant):
 
 
 def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
-                     *rest, scale, quant, hb, streaming=False):
+                     *rest, scale, quant, hb, streaming=False,
+                     sliding_window=None):
     """_kernel plus an in-flight (not yet cached) token: its logit joins the
     softmax and its value joins the output; emits the GQA-mean probability of
     both the cached slots and the in-flight token (late-write decode path).
@@ -152,6 +159,11 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
             preferred_element_type=jnp.float32,
         ) * scale                                     # (rep, 1)
         mask = (pos >= 0) & (pos <= q_pos)            # (1, S)
+        if sliding_window is not None:
+            # Mistral sliding window: true-position compare, matching
+            # ops.attention.attend_inflight (the in-flight token sits at
+            # q_pos, always inside its own window)
+            mask &= pos > q_pos - sliding_window
         logits = jnp.where(mask, logits, NEG_INF)
         logit_new = jnp.where(live, logit_new, NEG_INF)
         m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True), logit_new)
@@ -174,7 +186,7 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sliding_window"))
 def fused_decode_attend_inflight(
     q: jax.Array,       # (B, Hq, 1, D) rotated
     k_new: jax.Array,   # (B, Hkv, 1, D) unquantized, rotated
@@ -187,6 +199,7 @@ def fused_decode_attend_inflight(
     v_scale: Optional[jax.Array] = None,
     rank: Optional[jax.Array] = None,     # (B, Hkv, S) age ranks (streaming)
     inv_freq: Optional[jax.Array] = None,  # (D/2,) f32 rope frequencies
+    sliding_window: Optional[int] = None,  # Mistral window (static)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Late-write decode attention: the current token's K/V is passed
@@ -276,7 +289,7 @@ def fused_decode_attend_inflight(
     )
     out, probs, pnew = pl.pallas_call(
         functools.partial(_kernel_inflight, scale=scale, quant=quant, hb=hb,
-                          streaming=streaming),
+                          streaming=streaming, sliding_window=sliding_window),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
@@ -313,6 +326,7 @@ def fused_decode_attend_inflight_sharded(
     mesh,
     data_axis: str = "data",
     model_axis: str = "model",
+    sliding_window: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """fused_decode_attend_inflight under a (data, model) mesh via shard_map.
@@ -348,7 +362,8 @@ def fused_decode_attend_inflight_sharded(
     def fn(q_, kn_, vn_, k_, v_, pos_, qp_, *rest):
         kw = dict(zip(kw_keys, rest))
         return fused_decode_attend_inflight(
-            q_, kn_, vn_, k_, v_, pos_, qp_, interpret=interpret, **kw
+            q_, kn_, vn_, k_, v_, pos_, qp_, interpret=interpret,
+            sliding_window=sliding_window, **kw
         )
 
     return jax.shard_map(
@@ -357,7 +372,7 @@ def fused_decode_attend_inflight_sharded(
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "sliding_window"))
 def fused_decode_attend(
     q: jax.Array,       # (B, Hq, 1, D)
     k: jax.Array,       # (B, Hkv, S, D) compute dtype or int8
@@ -366,10 +381,11 @@ def fused_decode_attend(
     q_pos: jax.Array,   # (B,) int32
     k_scale: Optional[jax.Array] = None,  # (B, Hkv, S) f32 when int8
     v_scale: Optional[jax.Array] = None,
+    sliding_window: Optional[int] = None,  # Mistral window (static)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out (B, Hq, 1, D), probs_kv (B, Hkv, 1, S) float32) —
-    drop-in for ops.attention.attend at T=1 (no sliding window)."""
+    drop-in for ops.attention.attend at T=1."""
     B, Hq, T, D = q.shape
     assert T == 1
     Hkv, S = k.shape[1], k.shape[2]
@@ -413,7 +429,8 @@ def fused_decode_attend(
         out_specs=[spec4((1, 1, rep, D)), spec4((1, 1, 1, S_pad))],
     )
     out, probs = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, quant=quant),
+        functools.partial(_kernel, scale=scale, quant=quant,
+                          sliding_window=sliding_window),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),

@@ -95,6 +95,7 @@ def fused_decode_step(
     Nq = (Hq + 2 * Hkv) * Dh
     eps = cfg.rms_norm_eps
     scale = Dh ** -0.5
+    sliding_window = cfg.sliding_window
     quant = k_scale is not None
     dt = h0.dtype
 
@@ -297,6 +298,10 @@ def fused_decode_step(
                 logit_new = jnp.sum(q_rot * kn_rot, axis=-1,
                                     keepdims=True) * scale       # (rep, 1)
                 mask = (pv >= 0) & (pv <= qpos)
+                if sliding_window is not None:
+                    # Mistral sliding window (one compare; matches
+                    # ops.attention.attend_inflight semantics)
+                    mask &= pv > qpos - sliding_window
                 logits = jnp.where(mask, logits, NEG_INF)
                 logit_new = jnp.where(live, logit_new, NEG_INF)
                 m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),

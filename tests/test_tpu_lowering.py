@@ -33,18 +33,7 @@ def _load_smoke():
 _smoke = _load_smoke()
 
 
-@pytest.fixture(scope="module")
-def cfg7b():
-    from easykv_tpu.config import ModelConfig
-
-    return ModelConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-        num_hidden_layers=32, num_attention_heads=32,
-        num_key_value_heads=32, max_position_embeddings=4096,
-    )
-
-
 @pytest.mark.parametrize(
     "scenario", _smoke.scenarios(), ids=lambda s: s[0])
-def test_lowers_for_tpu(scenario, cfg7b):
-    _smoke.run_scenario(*scenario, cfg=cfg7b)
+def test_lowers_for_tpu(scenario):
+    _smoke.run_scenario(*scenario)

@@ -68,7 +68,8 @@ def _abstract_params(cfg, fmt: str, fused: bool):
 
 def scenarios():
     """(name, fmt, fused, kv_quant, kv_mode, gen_config, extra_env, B,
-    prompt_len, stride) for every default-ON Pallas routing at 7B."""
+    prompt_len, stride, cfg_name) for every default-ON Pallas routing at
+    7B (LLaMa2-7B MHA; Mistral-7B GQA + sliding window)."""
     dec = {"budget": 200, "kv_policy": "roco", "max_new_tokens": 8,
            "temperature": 1.0, "top_p": 0.95, "eos_token_ids": []}
     enc = {"budget": 0.5, "kv_policy": "roco", "max_new_tokens": 8,
@@ -77,36 +78,65 @@ def scenarios():
     return [
         # mega one-call decode kernel + arith-int4 GEMM prefill (M=512,
         # the BENCH_r03 crash site) + sidecar write/evict
-        ("int4_decode_roco", "int4", True, True, "decoding", dec, {}, 1, 512, 1),
+        ("int4_decode_roco", "int4", True, True, "decoding", dec, {}, 1, 512, 1,
+         "llama7b"),
         ("int4_decode_full", "int4", True, True, "decoding",
-         {**dec, "kv_policy": "full"}, {}, 1, 512, 1),
+         {**dec, "kv_policy": "full"}, {}, 1, 512, 1, "llama7b"),
         # streaming: inflight decode kernel with in-kernel rank rotation
         ("int4_decode_stream", "int4", True, True, "decoding",
-         {**dec, "streaming": True}, {}, 1, 512, 1),
+         {**dec, "streaming": True}, {}, 1, 512, 1, "llama7b"),
         # B=2: non-mega decode path + arith GEMM at M=2
-        ("int4_decode_b2", "int4", True, True, "decoding", dec, {}, 2, 512, 1),
+        ("int4_decode_b2", "int4", True, True, "decoding", dec, {}, 2, 512, 1,
+         "llama7b"),
         # mega off: per-op arith GEMV kernel (w4a16_gemv_arith) decode
         ("int4_decode_nomega", "int4", True, True, "decoding", dec,
-         {"EASYKV_TPU_MEGA": "0"}, 1, 512, 1),
+         {"EASYKV_TPU_MEGA": "0"}, 1, 512, 1, "llama7b"),
         # int8 weights: XLA w8a16 matmuls + inflight decode kernel
-        ("int8_decode_roco", "int8", False, True, "decoding", dec, {}, 1, 512, 1),
+        ("int8_decode_roco", "int8", False, True, "decoding", dec, {}, 1, 512,
+         1, "llama7b"),
         ("int8_decode_stream", "int8", False, True, "decoding",
-         {**dec, "streaming": True}, {}, 1, 512, 1),
+         {**dec, "streaming": True}, {}, 1, 512, 1, "llama7b"),
         # bf16 KV cache variant of the inflight kernel (quant=False branch)
-        ("int8_decode_bf16kv", "int8", False, False, "decoding", dec, {}, 1, 512, 1),
+        ("int8_decode_bf16kv", "int8", False, False, "decoding", dec, {}, 1,
+         512, 1, "llama7b"),
         # strided encode: chunk write+attend kernels (S-tiled), layer-major,
         # keep_attention bootstrap, encode-phase sidecar evict
-        ("int4_encode_roco", "int4", True, True, "encoding", enc, {}, 1, 4096, 96),
+        ("int4_encode_roco", "int4", True, True, "encoding", enc, {}, 1, 4096,
+         96, "llama7b"),
         # ppl mode (teacher-forced strided encode variant)
-        ("int4_ppl_roco", "int4", True, True, "ppl", enc, {}, 1, 4096, 96),
+        ("int4_ppl_roco", "int4", True, True, "ppl", enc, {}, 1, 4096, 96,
+         "llama7b"),
         # encoding_decoding: fused chunk-step kernel + encdec decode eviction
         ("int4_encdec_roco", "int4", True, True, "encoding_decoding",
-         {**dec, "budget": 384}, {}, 1, 512, 8),
+         {**dec, "budget": 384}, {}, 1, 512, 8, "llama7b"),
+        # Mistral-7B shapes (GQA 32/8 + sliding window): the in-kernel
+        # window mask paths (decode inflight, mega, chunk write+attend)
+        ("mistral_decode_roco", "int4", True, True, "decoding", dec, {},
+         1, 512, 1, "mistral7b"),
+        ("mistral_encode_roco", "int4", True, True, "encoding", enc, {},
+         1, 4096, 96, "mistral7b"),
     ]
 
 
+def make_cfg(cfg_name):
+    from easykv_tpu.config import ModelConfig
+
+    if cfg_name == "mistral7b":
+        return ModelConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=14336,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=8, max_position_embeddings=8192,
+            sliding_window=4096,
+        )
+    return ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=32, num_attention_heads=32,
+        num_key_value_heads=32, max_position_embeddings=4096,
+    )
+
+
 def run_scenario(name, fmt, fused, kv_quant, kv_mode, gc, env, B,
-                 prompt_len, stride, cfg) -> float:
+                 prompt_len, stride, cfg_name) -> float:
     import jax
     import numpy as np
 
@@ -116,6 +146,7 @@ def run_scenario(name, fmt, fused, kv_quant, kv_mode, gc, env, B,
     # the submodule's name, so attribute-style import returns the function
     gen_mod = sys.modules["easykv_tpu.engine.generate"]
 
+    cfg = make_cfg(cfg_name)
     params = _abstract_params(cfg, fmt, fused)
     model = gen_mod.CausalLM(cfg, params, dtype="bfloat16", kv_quant=kv_quant)
     rng = np.random.default_rng(0)
@@ -165,14 +196,6 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
 
-    from easykv_tpu.config import ModelConfig
-
-    cfg = ModelConfig(
-        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
-        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
-        max_position_embeddings=4096,
-    )
-
     import contextlib
     import io
 
@@ -183,7 +206,7 @@ def main(argv=None):
         try:
             # engine report prints (budget ratios) are noise here
             with contextlib.redirect_stdout(io.StringIO()):
-                dt = run_scenario(*s, cfg=cfg)
+                dt = run_scenario(*s)
             print(f"  OK   {name:24s} lowered for tpu in {dt:5.1f}s",
                   flush=True)
         except Exception as e:  # noqa: BLE001 — gate reports all failures
