@@ -50,6 +50,7 @@ from ..policies import (
     PolicySpec,
     evict_cache,
 )
+from ..ops.aux_math import confidence
 from ..ops.quant import materialize_params
 from ..sampling import logits_adapter, sample_token, sample_topp
 
@@ -563,6 +564,13 @@ class DecodeResult(NamedTuple):
     out_ids: jax.Array    # (B, max_new_tokens) int32, -1 past the end
     n_tokens: jax.Array   # (B,) tokens emitted (including EOS)
     kv_len: jax.Array     # (B,) final valid cache slots
+    # Per-step bookkeeping, mirroring the reference's decode-loop lists
+    # (easykv.py:236-285): token_probs = the sampled token's raw softmax
+    # probability (`token_probs`/`cache_probs`), confidence =
+    # exp(-entropy(raw softmax)) (`cache_cur_probs`, easykv.py:279).
+    # 0 past the emitted region.
+    token_probs: jax.Array = None   # (B, max_new_tokens) f32
+    confidence: jax.Array = None    # (B, max_new_tokens) f32
 
 
 def _decode_loop(
@@ -583,17 +591,27 @@ def _decode_loop(
     M = st.max_new_tokens
 
     def cond(carry):
-        _, _, _, n, done, _, _, _ = carry
+        _, _, _, n, done, _, _, _, _, _ = carry
         return (n < M) & ~jnp.all(done)
 
     def body(carry):
-        cache, lastlog, key, n, done, out, g, kv_len = carry
+        cache, lastlog, key, n, done, out, g, kv_len, tps, confs = carry
         key, sub = jax.random.split(key)
         # Single-argsort nucleus sampling in the sorted domain (identical
         # distribution to logits_adapter+sample_token; A/B'd faster than a
         # top-k + lax.cond fast path, see RESULTS.md).
         token = sample_topp(sub, lastlog, temperature, top_p)
         out = out.at[:, n].set(jnp.where(done, -1, token))
+        # Reference decode-loop bookkeeping (easykv.py:261, 279): the
+        # sampled token's raw (pre-top-p) probability and the step's
+        # exp(-entropy) confidence of the raw temperature softmax.
+        raw = jax.nn.softmax(
+            lastlog.astype(jnp.float32) / jnp.maximum(temperature, 1e-9),
+            axis=-1,
+        )
+        tp = jnp.take_along_axis(raw, token[:, None], axis=-1)[:, 0]
+        tps = tps.at[:, n].set(jnp.where(done, 0.0, tp))
+        confs = confs.at[:, n].set(jnp.where(done, 0.0, confidence(raw)))
         newly_done = done | _isin_eos(token, st.eos_token_ids)
         n = n + 1
         live = ~newly_done
@@ -641,17 +659,19 @@ def _decode_loop(
         g = g + live.astype(jnp.int32)
         k_evict = spec.k if spec is not None else 0
         kv_len = kv_len + live.astype(jnp.int32) - jnp.where(gate_b, k_evict, 0)
-        return cache, lastlog, key, n, newly_done, out, g, kv_len
+        return cache, lastlog, key, n, newly_done, out, g, kv_len, tps, confs
 
     out0 = jnp.full((B, M), -1, jnp.int32)
     key0 = jax.random.fold_in(seed, 7919)
     carry = (
         cache, first_logits, key0, jnp.int32(0), jnp.zeros((B,), bool),
         out0, jnp.zeros((B,), jnp.int32), kv_len0,
+        jnp.zeros((B, M), jnp.float32), jnp.zeros((B, M), jnp.float32),
     )
-    cache, _, key, n, done, out, g, kv_len = jax.lax.while_loop(cond, body, carry)
+    (cache, _, key, n, done, out, g, kv_len, tps,
+     confs) = jax.lax.while_loop(cond, body, carry)
     emitted = jnp.sum((out >= 0).astype(jnp.int32), axis=-1)
-    return DecodeResult(out, emitted, kv_len)
+    return DecodeResult(out, emitted, kv_len, tps, confs)
 
 
 def _engine_cache(st: EngineStatics, B: int, S: int) -> KVCache:
@@ -993,6 +1013,7 @@ def generate(
             )
         if report_decoding_latency:
             print(f"Per-step decoding latency: {dt / max(n_out, 1):.3f}")
+            _report_confidence(res)
         return _finalize(model, res)
 
     if mode in ("encoding", "ppl") and _is_full_budget(budget, length):
@@ -1048,6 +1069,7 @@ def generate(
         if report_decoding_latency:
             n_out = int(res.n_tokens[0])
             print(f"Per-step decoding latency: {(time.time()-t0) / max(n_out,1):.3f}")
+            _report_confidence(res)
         return _finalize(model, res)
 
     if mode == "encoding_decoding":
@@ -1084,6 +1106,23 @@ def generate(
 def _is_full_budget(budget, length) -> bool:
     return (isinstance(budget, float) and budget >= 1.0) or (
         isinstance(budget, int) and budget >= length
+    )
+
+
+def _report_confidence(res: DecodeResult) -> None:
+    """Verbose per-run summary of the reference's decode-loop bookkeeping
+    (easykv.py:261 token_probs, :279 cache_cur_probs exp(-entropy))."""
+    if res.confidence is None:
+        return
+    emitted = np.asarray(res.out_ids)[0] >= 0
+    if not emitted.any():
+        return
+    conf = np.asarray(res.confidence)[0][emitted]
+    tp = np.asarray(res.token_probs)[0][emitted]
+    print(
+        f"Decoding confidence exp(-entropy): mean {conf.mean():.4f} "
+        f"min {conf.min():.4f}; token prob: mean {tp.mean():.4f} "
+        f"min {tp.min():.4f}"
     )
 
 

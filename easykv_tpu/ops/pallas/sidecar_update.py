@@ -79,6 +79,20 @@ def _kth_smallest_bits(bits, k, nbits=31):
 # write kernel
 # ---------------------------------------------------------------------------
 
+
+def _pick_hb(H: int, S: int, n_blocks: int) -> int:
+    """Largest KV-head block count whose (hb, S) f32 blocks fit a
+    conservative VMEM budget (double-buffered). The sidecar kernels are
+    per-head-row independent, so the grid tiles heads freely; one program
+    per (L, B) with the full (H, S) block VMEM-OOMs past S ~ 6K at H=32
+    (caught by the 16K-regime bench: 16.5M > 16M scoped vmem)."""
+    budget = 10 * 1024 * 1024
+    hb = H
+    while hb > 1 and n_blocks * hb * S * 4 * 2 > budget:
+        hb //= 2
+    return hb
+
+
 def _write_kernel(iparams_ref, fparams_ref,
                   pos_ref, score_ref, ssq_ref, counter_ref, probs_ref,
                   pnew_ref,
@@ -159,15 +173,17 @@ def fused_write_update(
     )
     fparams = counter_init[:, None].astype(jnp.float32)
 
+    hb = _pick_hb(H, S, 9)
+
     def spec4(shape):
-        return pl.BlockSpec(shape, lambda l, b, ip, fp: (l, b, 0, 0),
+        return pl.BlockSpec(shape, lambda l, b, h, ip, fp: (l, b, h, 0),
                             memory_space=pltpu.VMEM)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(L, B),
-        in_specs=[spec4((1, 1, H, S))] * 5 + [spec4((1, 1, H, 1))],
-        out_specs=[spec4((1, 1, H, S))] * 4 + [spec4((1, 1, H, 1))],
+        grid=(L, B, H // hb),
+        in_specs=[spec4((1, 1, hb, S))] * 5 + [spec4((1, 1, hb, 1))],
+        out_specs=[spec4((1, 1, hb, S))] * 4 + [spec4((1, 1, hb, 1))],
     )
     return pl.pallas_call(
         functools.partial(_write_kernel, policy=policy),
@@ -299,8 +315,10 @@ def fused_evict(
         axis=-1,
     )
 
+    hb = _pick_hb(H, S, 6)
+
     def spec4(shape):
-        return pl.BlockSpec(shape, lambda l, b, ip: (l, b, 0, 0),
+        return pl.BlockSpec(shape, lambda l, b, h, ip: (l, b, h, 0),
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(
@@ -311,9 +329,9 @@ def fused_evict(
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(L, B),
-        in_specs=[spec4((1, 1, H, S))] * 4,
-        out_specs=[spec4((1, 1, H, S))] * 2,
+        grid=(L, B, H // hb),
+        in_specs=[spec4((1, 1, hb, S))] * 4,
+        out_specs=[spec4((1, 1, hb, S))] * 2,
     )
     return pl.pallas_call(
         kern,

@@ -129,3 +129,43 @@ def test_generation_config_dataclass_roundtrip():
         {"budget": 0.5, "kv_policy": "h2o_head_std_avg", "unknown_key": 1}
     )
     assert gc.with_policy().kv_policy == "roco"
+
+
+def test_decode_confidence_bookkeeping(tiny_model, capsys):
+    """Reference easykv.py:261/279 parity: the decode loop tracks the
+    sampled token's raw probability and the exp(-entropy) confidence per
+    step; verbose decoding reports them."""
+    from easykv_tpu.engine.generate import (
+        EngineStatics,
+        _run_decoding,
+        generate as gen,
+    )
+
+    out = gen(
+        tiny_model, ids_of(24),
+        {"budget": 16, "kv_policy": "roco", "max_new_tokens": 12,
+         "temperature": 1.0, "top_p": 1.0, "eos_token_ids": []},
+        kv_mode="decoding", stride=1, report_decoding_latency=True,
+    )
+    captured = capsys.readouterr().out
+    assert "Decoding confidence exp(-entropy)" in captured
+    # and the raw arrays are sane on a direct engine call
+    st = EngineStatics(
+        cfg=tiny_model.cfg, mode="decoding", policy="roco", stride=1,
+        length=64, budget=16, recent_window_dec=4, max_new_tokens=12,
+        dtype=tiny_model.dtype,
+    )
+    ids_pad = np.zeros((1, 64), np.int32)
+    ids_pad[0, :24] = ids_of(24)
+    res = _run_decoding(
+        st, tiny_model.params, jnp.asarray(ids_pad),
+        jnp.asarray([24], jnp.int32), jnp.float32(1.0), jnp.float32(1.0),
+        jax.random.PRNGKey(0),
+    )
+    n = int(res.n_tokens[0])
+    conf = np.asarray(res.confidence)[0, :n]
+    tp = np.asarray(res.token_probs)[0, :n]
+    assert (conf > 0).all() and (conf <= 1 + 1e-6).all()
+    assert (tp > 0).all() and (tp <= 1 + 1e-6).all()
+    # at temperature 1 on random logits the distribution is not one-hot
+    assert conf.mean() < 0.999
