@@ -590,12 +590,19 @@ def _decode_loop(
     B = first_logits.shape[0]
     M = st.max_new_tokens
 
+    # Streaming decode carries the age ranks incrementally (k=1 eviction):
+    # the per-step batched argsort measured 0.54 ms/step at 7B
+    # (RESULTS.md r4 streaming attribution); rank updates from the pos
+    # deltas are pure elementwise ops.
+    inc_ranks = (st.streaming and (spec is None or spec.k == 1)
+                 and flags.inc_ranks_enabled())
+
     def cond(carry):
-        _, _, _, n, done, _, _, _, _, _ = carry
+        _, _, _, n, done, _, _, _, _, _, _ = carry
         return (n < M) & ~jnp.all(done)
 
     def body(carry):
-        cache, lastlog, key, n, done, out, g, kv_len, tps, confs = carry
+        cache, lastlog, key, n, done, out, g, kv_len, tps, confs, ranks = carry
         key, sub = jax.random.split(key)
         # Single-argsort nucleus sampling in the sorted domain (identical
         # distribution to logits_adapter+sample_token; A/B'd faster than a
@@ -649,27 +656,57 @@ def _decode_loop(
             update_gate=live,
             rand_rank=rand_rank,
         )
+        pos_pre = cache.pos
         logits, cache = llama.forward(
-            params, st.cfg, cache, token[:, None], ctx, spec, streaming=st.streaming
+            params, st.cfg, cache, token[:, None], ctx, spec,
+            streaming=st.streaming,
+            ranks_all=ranks if inc_ranks else None,
         )
+        if inc_ranks:
+            # new token's slot gets rank = pre-write valid count (uniform
+            # across heads: every eviction removes exactly k per head)
+            written = (cache.pos >= 0) & (pos_pre < 0)
+            nv = jnp.sum((pos_pre[:, :, :1, :] >= 0).astype(jnp.int32),
+                         axis=-1, keepdims=True)           # (L, B, 1, 1)
+            ranks = jnp.where(written, nv, ranks)
+        pos_mid = cache.pos
         if spec is not None and spec.policy != "full":
             cache = evict_cache(cache, spec, ctx.next_pos, prompt_len,
                                 rand_rank, gate_b)
+            if inc_ranks:
+                # victim removed: every younger slot's rank drops by one
+                evicted = (pos_mid >= 0) & (cache.pos < 0)
+                rank_e = jnp.max(jnp.where(evicted, ranks, -1), axis=-1,
+                                 keepdims=True)            # (L, B, H, 1)
+                ranks = jnp.where(
+                    (ranks > rank_e) & (rank_e >= 0) & ~evicted,
+                    ranks - 1, ranks)
+                ranks = jnp.where(evicted, 0, ranks)
         lastlog = jnp.where(newly_done[:, None], lastlog, logits[:, -1, :])
         g = g + live.astype(jnp.int32)
         k_evict = spec.k if spec is not None else 0
         kv_len = kv_len + live.astype(jnp.int32) - jnp.where(gate_b, k_evict, 0)
-        return cache, lastlog, key, n, newly_done, out, g, kv_len, tps, confs
+        return (cache, lastlog, key, n, newly_done, out, g, kv_len, tps,
+                confs, ranks)
 
     out0 = jnp.full((B, M), -1, jnp.int32)
     key0 = jax.random.fold_in(seed, 7919)
+    if inc_ranks:
+        # one argsort total (prefill caches may be eviction-scrambled in
+        # encoding/encdec modes); the loop keeps ranks current from there
+        L_, B_, H_, S_ = cache.pos.shape
+        ranks0 = llama._age_ranks(
+            cache.pos.reshape(L_ * B_, H_, S_)).reshape(L_, B_, H_, S_)
+    else:
+        ranks0 = jnp.zeros((0,), jnp.int32)  # unused placeholder
     carry = (
         cache, first_logits, key0, jnp.int32(0), jnp.zeros((B,), bool),
         out0, jnp.zeros((B,), jnp.int32), kv_len0,
         jnp.zeros((B, M), jnp.float32), jnp.zeros((B, M), jnp.float32),
+        ranks0,
     )
     (cache, _, key, n, done, out, g, kv_len, tps,
-     confs) = jax.lax.while_loop(cond, body, carry)
+     confs, _) = jax.lax.while_loop(cond, body, carry)
     emitted = jnp.sum((out >= 0).astype(jnp.int32), axis=-1)
     return DecodeResult(out, emitted, kv_len, tps, confs)
 
@@ -980,7 +1017,8 @@ def generate(
                 flags.layer_major_enabled(), flags.chunk_kernel_mode(),
                 flags.encode_unroll(), flags.dense_write_enabled(),
                 flags.step_kernel_enabled(), flags.mega_kernel_enabled(),
-                flags.w4a_kernel_enabled(), flags.pallas_interpret()),
+                flags.w4a_kernel_enabled(), flags.pallas_interpret(),
+                flags.inc_ranks_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

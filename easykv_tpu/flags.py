@@ -178,6 +178,27 @@ def w4a_kernel_enabled() -> bool:
     return pallas_enabled()
 
 
+_INC_RANKS_OVERRIDE: Optional[bool] = None
+
+
+def use_inc_ranks(enabled: Optional[bool]) -> None:
+    """Force the engine-carried incremental age ranks for streaming decode
+    on/off (None = env EASYKV_TPU_INC_RANKS, default on). Off = recompute
+    the batched double-argsort every step (0.54 ms/step at 7B — the A/B
+    reference path)."""
+    global _INC_RANKS_OVERRIDE
+    _INC_RANKS_OVERRIDE = enabled
+
+
+def inc_ranks_enabled() -> bool:
+    import os
+
+    if _INC_RANKS_OVERRIDE is not None:
+        return _INC_RANKS_OVERRIDE
+    return os.environ.get("EASYKV_TPU_INC_RANKS", "1") not in (
+        "0", "false", "off")
+
+
 _LAYER_MAJOR_OVERRIDE: Optional[bool] = None
 
 

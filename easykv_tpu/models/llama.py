@@ -264,6 +264,8 @@ def forward(
     *,
     bootstrap: bool = False,     # keep_attention prefix accumulation
     streaming: bool = False,     # cache-relative RoPE (StreamingLLM mode)
+    ranks_all: Optional[jax.Array] = None,  # (L, B, Hkv, S) precomputed age
+                                 # ranks (streaming decode; skips the argsort)
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk through all layers. Returns (logits (B, C, V) f32, new cache)."""
     B, C = token_ids.shape
@@ -278,7 +280,7 @@ def forward(
         # (in-kernel table-pick on TPU), and the per-layer argsorts collapse
         # into one batched rank computation (VERDICT r2 next #5).
         return _decode_forward(params, cfg, cache, token_ids, ctx, spec,
-                               streaming=streaming)
+                               streaming=streaming, ranks_all=ranks_all)
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
@@ -707,6 +709,7 @@ def _decode_forward(
     ctx: StepCtx,
     spec: Optional[PolicySpec],
     streaming: bool = False,
+    ranks_all: Optional[jax.Array] = None,   # (L, B, Hkv, S) precomputed
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode with late cache write.
 
@@ -765,7 +768,11 @@ def _decode_forward(
         Sl = cache.pos.shape[-1]
         import os as _os
 
-        if "ranks" in _os.environ.get("EASYKV_TPU_STREAM_SKIP", ""):
+        if ranks_all is not None:
+            # engine-carried incremental ranks (decode loop, k=1 eviction):
+            # no per-step argsort at all — see _decode_loop's rank updates
+            pass
+        elif "ranks" in _os.environ.get("EASYKV_TPU_STREAM_SKIP", ""):
             # timing-only debug: attribute the batched argsort's cost
             ranks_all = jnp.zeros_like(cache.pos)
         else:

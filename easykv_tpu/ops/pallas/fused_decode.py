@@ -30,8 +30,8 @@ Semantics match models.llama._decode_forward's layer scan exactly
 (fp32 softmax, slot-validity masking, GQA-mean probability emission for
 the eviction scores — reference easykv.py:288-300, process_for_mqa_gqa
 easykv.py:188-196); the engine's sidecar update + batched KV write stay
-outside, unchanged. B == 1, T == 1, no attention bias, no sliding window,
-non-streaming.
+outside, unchanged. B == 1, T == 1, no attention bias, non-streaming
+(sliding-window Mistral attention is in-kernel since r4).
 """
 from __future__ import annotations
 
@@ -73,7 +73,8 @@ def _rms(x, w, eps):
 
 def fused_decode_step(
     layers: dict,            # stacked layer tree: wqkv/wo/wgu/wd as
-                             # {"q4a": (L, K/2, N), "gs3": (L, 3gch, N)},
+                             # {"q4a": (L, K/2, N), "gs3": (L, 2gch, N)
+                             # bf16 scale pair (arith_scale_pair)},
                              # ln_attn/ln_mlp (L, D)
     cfg,                     # ModelConfig
     k: jax.Array,            # (L, 1, Hkv, S, Dh) int8 or compute dtype
@@ -214,8 +215,10 @@ def fused_decode_step(
                 bc = jax.lax.dot_general(
                     lhsBC[0:2 * gch, 0:kh], u, dimension_numbers=DN,
                     preferred_element_type=jnp.float32)
-                # sA == sB: A + B collapse before scaling (w4_stream)
-                r = jnp.concatenate([a + bc[:gch], bc[gch:]], axis=0)
+                # bf16 pair scales [hi; lo]/16: hi/16*(A+B-C) + lo/16*C
+                # (w4_stream.arith_scale_pair)
+                r = jnp.concatenate([a + bc[:gch] - bc[gch:], bc[gch:]],
+                                    axis=0)
                 return jnp.sum(r * g2, axis=0, keepdims=True)
             r127 = jnp.float32(1.0 / 127.0)
             ra = jax.lax.dot_general(
@@ -237,7 +240,8 @@ def fused_decode_step(
                    ) * jnp.concatenate(
                        [sr_s[GCH_MAX:GCH_MAX + gch, 0:1],
                         sr_s[2 * GCH_MAX:2 * GCH_MAX + gch, 0:1]], axis=0)
-            r = jnp.concatenate([af + bcf[:gch], bcf[gch:]], axis=0)
+            r = jnp.concatenate([af + bcf[:gch] - bcf[gch:], bcf[gch:]],
+                                axis=0)
             return jnp.sum(r * g2, axis=0, keepdims=True)
 
         # ---- QKV phases -------------------------------------------------

@@ -114,6 +114,14 @@ def quantize_linear_int4(w: jax.Array, group_size: int = 128,
     wf = w.astype(jnp.float32).reshape(*lead, gc, group_size, N)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)      # (.., gc, 1, N)
     scale = jnp.maximum(amax, 1e-8) / 7.0
+    # bf16-representable scales (stored f32, both layouts — keeps the
+    # arith/halves cross-layout identity exact): the streaming kernels'
+    # epilogue pair (w4_stream.arith_scale_pair) then streams HBM in bf16
+    # LOSSLESSLY — same values in every path, half the scale traffic
+    # (~100 MB/step at 7B). Scale precision 2^-9 is noise next to int4's
+    # 7-level quantization error; q is computed against the rounded scale
+    # so the stored values stay self-consistent.
+    scale = scale.astype(jnp.bfloat16).astype(jnp.float32)
     q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int8)
     gs = scale.squeeze(-2).astype(jnp.float32)                # (.., gc, N)
     if layout == "arith":
@@ -168,12 +176,12 @@ def materialize_params(params: Any) -> Any:
             return out
         if isinstance(t, dict) and "q4a" in t and "gs3" not in t:
             # arith carrier needs no conversion (plain int8 in HBM); add the
-            # precomputed epilogue scale triple the streaming kernels use
-            # (ops/pallas/w4_stream.arith_scale_triple) so it is not rebuilt
+            # precomputed bf16 epilogue scale pair the streaming kernels use
+            # (ops/pallas/w4_stream.arith_scale_pair) so it is not rebuilt
             # per decode step.
-            from .pallas.w4_stream import arith_scale_triple
+            from .pallas.w4_stream import arith_scale_pair
 
-            return {**t, "gs3": arith_scale_triple(t["gs"])}
+            return {**t, "gs3": arith_scale_pair(t["gs"])}
         return t
 
     return jax.tree.map(
