@@ -50,13 +50,20 @@ def main():
                     os.environ.get("EASYKV_BENCH_WEIGHTS", "int8")]
         from easykv_tpu.ops.quant import fuse_gemv_params
 
-        params_by_fmt = {}
-        for f in fmts:
-            p = fake_int4_params(cfg) if f == "int4" else fake_int8_params(cfg)
-            params_by_fmt[f] = fuse_gemv_params(p)
-        jax.block_until_ready(list(params_by_fmt.values()))
+        # formats built LAZILY and released between runs: int8 (6.8G) +
+        # int4 (3.4G) resident together OOM the 16 GB chip once the B=8
+        # caches/logits join them. Formats therefore run format-major
+        # (not interleaved per B) — cross-format deltas carry cross-process
+        # -style tunnel variance; the B-scaling trend within a format is
+        # clean.
+        params_by_fmt = {
+            f: (lambda f=f: fuse_gemv_params(
+                fake_int4_params(cfg) if f == "int4"
+                else fake_int8_params(cfg)))
+            for f in fmts
+        }
         kv_quant = True
-        log(f"7B {'+'.join(fmts)} weights, int8 KV")
+        log(f"7B {'+'.join(fmts)} weights, int8 KV (format-major)")
     elif on_tpu:
         cfg = ModelConfig(
             vocab_size=32000, hidden_size=2048, intermediate_size=5632,
@@ -76,23 +83,23 @@ def main():
 
     if not (on_tpu and model7b):
         jax.block_until_ready(params)
-        params_by_fmt = {"": params}
-    models = {
-        f: CausalLM(cfg, p, dtype=str(jnp.dtype(dtype)), kv_quant=kv_quant)
-        for f, p in params_by_fmt.items()
-    }
+        params_by_fmt = {"": (lambda: params)}
     rng = np.random.default_rng(0)
 
-    for B in batches:
-        ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)), jnp.int32)
-        st = EngineStatics(
-            cfg=cfg, mode="decoding", policy="roco", stride=1, length=P,
-            budget=budget, recent_window_dec=int(budget * 0.3),
-            max_new_tokens=gen, dtype=str(jnp.dtype(dtype)),
-            kv_quant=kv_quant,
-        )
-        prompt_len = jnp.full((B,), P, jnp.int32)
-        for f, model in models.items():
+    for f, build in params_by_fmt.items():
+        model = CausalLM(cfg, build(), dtype=str(jnp.dtype(dtype)),
+                         kv_quant=kv_quant)
+        jax.block_until_ready(model.params)
+        for B in batches:
+            ids = jnp.asarray(rng.integers(1, cfg.vocab_size, size=(B, P)),
+                              jnp.int32)
+            st = EngineStatics(
+                cfg=cfg, mode="decoding", policy="roco", stride=1, length=P,
+                budget=budget, recent_window_dec=int(budget * 0.3),
+                max_new_tokens=gen, dtype=str(jnp.dtype(dtype)),
+                kv_quant=kv_quant,
+            )
+            prompt_len = jnp.full((B,), P, jnp.int32)
             args = (st, model.params, ids, prompt_len, jnp.float32(1.0),
                     jnp.float32(0.95), jax.random.PRNGKey(0))
             res = _run_decoding(*args)
@@ -105,6 +112,7 @@ def main():
             log(f"B={B:3d}{' ' + f if f else ''}: "
                 f"{total/dt:9.1f} tok/s aggregate "
                 f"({total/dt/B:7.1f} per stream; {dt:.2f}s)")
+        del model
 
 
 if __name__ == "__main__":

@@ -1,21 +1,22 @@
-"""A/B (TPU): batched arith-int4 Pallas GEMM vs the dual-format int8 copy
-vs the XLA arith fallback, at 7B linear shapes (VERDICT r3 next #4).
+"""End-to-end A/B (TPU): is the dual-format int8 copy (+3.4 GB resident)
+still needed now that the batched arith-int4 Pallas GEMM works? (VERDICT
+r3 next #4.)
 
-The dual-int8 tree (+3.4 GB resident at 7B) exists ONLY because int4's
-batched widths (prefill chunks M=128-512, batched decode M=2-32) used to
-run XLA paths that materialize unpacked nibble planes (~2.5x carrier
-bytes) or a dequantized bf16 copy (~6x). w4a16_gemm_arith streams the
-carrier once; if it matches the int8 copy's wall time at every batched
-width the dual format is dead.
+Two end-to-end probes, each ONE jitted executable per timed call (this
+tunneled backend's per-call timings below ~1 ms are dispatch-floor noise —
+op-level microbenches here measured physically impossible rates; see git
+history of this file):
 
-Variants per (shape, M), interleaved in one process:
-  gemm : w4a16_gemm_arith (Pallas, carrier streamed once)
-  int8 : jnp.matmul(x, q8.astype(bf16)) * s8   (the dual-format route)
-  xla  : the arith fallback (grouped einsum M<=32 / dequant-dense M>32)
+1. PREFILL: 2048-token prompt, max_new_tokens=1, 7B — prefill chunks run
+   M=128 matmuls, the regime the dual tree's q8 copy was added for.
+   Formats: int4-arith (GEMM kernel), int4-dual (q8 routed at M>32),
+   int8 (reference rate).
+2. BATCHED DECODE: see benchmarks/bench_batch.py with
+   EASYKV_BENCH_WEIGHTS=both EASYKV_BENCH_MODEL=7b (GEMM at M=B).
 
   python benchmarks/bench_gemm_ab.py        # on the TPU host
 """
-import functools
+import contextlib
 import os
 import sys
 import time
@@ -23,92 +24,87 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/easykv_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
-G = 128
+import jax.numpy as jnp
+import numpy as np
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _dev_q(seed, shape, mod=239):
-    n = int(np.prod(shape))
-    v = (jax.lax.iota(jnp.int32, n) * 29 + seed) % mod - mod // 2
-    return v.astype(jnp.int8).reshape(shape)
-
-
 def main():
-    from easykv_tpu import flags
-    from easykv_tpu.ops.pallas.w4_stream import w4a16_gemm_arith
-    from easykv_tpu.ops import quant
+    from bench import fake_int4_params, fake_int8_params, _dev_bytes
+
+    from easykv_tpu import CausalLM, ModelConfig, generate
+    from easykv_tpu.ops.quant import fuse_gemv_params
 
     assert jax.default_backend() == "tpu", "run on the TPU host"
-    flags.use_pallas(True)
+    cfg = ModelConfig(
+        vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
+        max_position_embeddings=4096,
+    )
+    prompt_len = 2048
 
-    # 7B fused-layout linear shapes (K, N)
-    shapes = {
-        "wqkv": (4096, 12288),
-        "wgu": (4096, 22016),
-        "wd": (11008, 4096),
-        "wo": (4096, 4096),
+    def dualize(tree):
+        """Attach a deterministic int8 copy (q8/s8) to every int4 layer
+        linear — the dual-format layout quantize_params_int4(dual_int8=True)
+        produces (values independent; only the routing/HBM path matters)."""
+        layers = {}
+        seed = 101
+        for name, lin in tree["layers"].items():
+            if isinstance(lin, dict) and "q4a" in lin:
+                L_, Kh, N = lin["q4a"].shape
+                K = 2 * Kh
+                q8 = _dev_bytes((L_, K, N), 255, seed)
+                s8 = jnp.full((L_, N), (K ** -0.5) / 127.0, jnp.float32)
+                lin = {**lin, "q8": q8, "s8": s8}
+                seed += 2
+            layers[name] = lin
+        return {**tree, "layers": layers}
+
+    # NO int8 model here: int4(3.4G) + dual(6.8G) + int8(6.8G) would
+    # exceed the 16 GB chip; the int8 prefill reference rides bench.py
+    builders = {
+        "int4_arith": lambda: fuse_gemv_params(fake_int4_params(cfg)),
+        "int4_dual": lambda: dualize(fuse_gemv_params(fake_int4_params(cfg))),
     }
-    Ms = (2, 8, 32, 96, 256, 512)
-    reps = 30
 
-    @functools.partial(jax.jit, static_argnames=())
-    def int8_mm(x, q8, s8):
-        return jnp.matmul(x, q8.astype(x.dtype)) * s8.astype(x.dtype)
+    ids = np.random.default_rng(0).integers(1, cfg.vocab_size,
+                                            size=(prompt_len,))
+    gc = {"budget": 200, "kv_policy": "full", "max_new_tokens": 1,
+          "temperature": 1.0, "top_p": 0.95, "eos_token_ids": []}
 
-    # the xla fallback: _mm_w4a routes on the flag at trace time, and the
-    # gemm variant below calls the kernel directly, so gate the flag off for
-    # the whole bench — every xla_jit trace then takes the XLA path
-    flags.use_w4a_kernel(False)
-    xla_jit = jax.jit(lambda x, p, gs: quant._mm_w4a(x, p, gs))
+    models = {}
+    for name, build in builders.items():
+        t0 = time.time()
+        params = build()
+        jax.block_until_ready(params)
+        models[name] = CausalLM(cfg, params, dtype="bfloat16", kv_quant=True)
+        log(f"{name}: params built in {time.time()-t0:.1f}s")
 
-    rows = []
-    for name, (K, N) in shapes.items():
-        p = _dev_q(3, (K // 2, N))
-        gs = jnp.full((K // G, N), (K ** -0.5) / 7.0, jnp.float32)
-        q8 = _dev_q(5, (K, N), mod=255)
-        s8 = jnp.full((N,), (K ** -0.5) / 127.0, jnp.float32)
-        jax.block_until_ready((p, gs, q8, s8))
-        for M in Ms:
-            x = (_dev_q(7, (M, K), mod=255).astype(jnp.bfloat16)
-                 * (K ** -0.5) / 127.0)
-            jax.block_until_ready(x)
-            fns = {
-                "gemm": lambda: w4a16_gemm_arith(x, p, gs),
-                "int8": lambda: int8_mm(x, q8, s8),
-                "xla": lambda: xla_jit(x, p, gs),
-            }
-            # warm-up (compile)
-            for f in fns.values():
-                jax.block_until_ready(f())
-            t = {k: [] for k in fns}
-            for _ in range(reps):
-                for k, f in fns.items():
-                    t0 = time.perf_counter()
-                    jax.block_until_ready(f())
-                    t[k].append(time.perf_counter() - t0)
-            med = {k: float(np.median(v)) * 1e6 for k, v in t.items()}
-            carrier_gb = (K // 2) * N / 1e9
-            rate = carrier_gb / (med["gemm"] * 1e-6)
-            log(f"{name:5s} K={K:5d} N={N:5d} M={M:3d}: "
-                f"gemm {med['gemm']:8.1f}us ({rate:5.0f} GB/s carrier)  "
-                f"int8 {med['int8']:8.1f}us  xla {med['xla']:8.1f}us  "
-                f"gemm/int8 = {med['gemm']/med['int8']:.2f}")
-            rows.append((name, M, med))
+    def run(model):
+        t0 = time.time()
+        with contextlib.redirect_stdout(sys.stderr):
+            generate(model, ids, gc, kv_mode="decoding", stride=1)
+        return time.time() - t0
 
-    # verdict line: does the GEMM beat/meet int8 everywhere it is routed?
-    worst = max(rows, key=lambda r: r[2]["gemm"] / r[2]["int8"])
-    log(f"worst gemm/int8 ratio: {worst[2]['gemm']/worst[2]['int8']:.2f} "
-        f"at {worst[0]} M={worst[1]}")
+    for name, model in models.items():
+        log(f"{name}: warm-up (compile) {run(model):.2f}s")
+    res = {n: [] for n in models}
+    for _ in range(5):
+        for name, model in models.items():
+            res[name].append(run(model))
+    for name, ts in res.items():
+        log(f"prefill+1tok {prompt_len}tok [{name}]: "
+            f"{np.median(ts)*1e3:.1f} ms  reps={[f'{t*1e3:.0f}' for t in ts]}")
+    base = np.median(res["int4_dual"])
+    log(f"arith/dual = {np.median(res['int4_arith'])/base:.3f} "
+        f"(<= 1.0x means the dual copy is dead)")
 
 
 if __name__ == "__main__":

@@ -140,6 +140,11 @@ class EngineStatics:
     # of the jit cache key, so a flag flip retraces instead of serving the
     # other path's cached trace.
     pallas: Tuple = (False, False, True, False)
+    # Collect per-step confidence/token-prob bookkeeping (reference
+    # easykv.py:261/279). Off by default: the extra (B, V) softmax +
+    # entropy per step is measurable against the 7 ms step budget; verbose
+    # runs (report_decoding_latency) turn it on.
+    collect_stats: bool = False
 
     @property
     def jdtype(self):
@@ -560,6 +565,36 @@ def _ce_from_hidden(st: EngineStatics, params, h: jax.Array, tokens: jax.Array,
 # Decode loop (reference easykv.py:257-363 / :508-526 / :670-748)
 # ---------------------------------------------------------------------------
 
+def _compact_one(cache: KVCache, pos_mid: jax.Array) -> KVCache:
+    """Age-ordered compaction after a k=1 eviction event: slots above each
+    head's victim shift down by one (static roll + select — no gather), so
+    valid slots stay contiguous and age-ordered. This is the reference's
+    physical-removal semantics (truncate_kv_cache_silo, easykv.py:56-68)
+    realized with static shapes; heads without an eviction are untouched."""
+    evicted = (pos_mid >= 0) & (cache.pos < 0)            # (L, B, H, S)
+    any_ev = jnp.any(evicted, axis=-1, keepdims=True)     # (L, B, H, 1)
+    S = cache.pos.shape[-1]
+    iota = jnp.arange(S, dtype=jnp.int32)
+    v_slot = jnp.argmax(evicted, axis=-1)[..., None]      # (L, B, H, 1)
+    ge = (iota >= v_slot) & any_ev                        # (L, B, H, S)
+
+    def compact(arr):
+        if arr is None or arr.shape[3] != S:
+            return arr                                    # (.., 1) dummies
+        gem = ge.reshape(ge.shape + (1,) * (arr.ndim - 4))
+        return jnp.where(gem, jnp.roll(arr, -1, axis=3), arr)
+
+    pos = compact(cache.pos)
+    # the (now one-past-the-end) last slot wrapped around to slot 0's value
+    pos = jnp.where((iota == S - 1) & any_ev[..., 0][..., None], -1, pos)
+    return cache._replace(
+        k=compact(cache.k), v=compact(cache.v), pos=pos,
+        score=compact(cache.score), score_sq=compact(cache.score_sq),
+        counter=compact(cache.counter),
+        k_scale=compact(cache.k_scale), v_scale=compact(cache.v_scale),
+    )
+
+
 class DecodeResult(NamedTuple):
     out_ids: jax.Array    # (B, max_new_tokens) int32, -1 past the end
     n_tokens: jax.Array   # (B,) tokens emitted (including EOS)
@@ -590,11 +625,22 @@ def _decode_loop(
     B = first_logits.shape[0]
     M = st.max_new_tokens
 
-    # Streaming decode carries the age ranks incrementally (k=1 eviction):
-    # the per-step batched argsort measured 0.54 ms/step at 7B
-    # (RESULTS.md r4 streaming attribution); rank updates from the pos
-    # deltas are pure elementwise ops.
-    inc_ranks = (st.streaming and (spec is None or spec.k == 1)
+    # Streaming decode rank strategy (flags.inc_ranks gates both; off =
+    # per-step batched argsort, the 0.54 ms/step A/B reference path):
+    #   ordered    — decoding mode only: the prefill cache is age-ordered
+    #                (contiguous appends) and stays so by compacting on
+    #                every k=1 eviction with a static roll+select (no
+    #                gather). rank == slot index, so the kernels rotate by
+    #                a direct per-slot table: no ranks, no argsort, and no
+    #                one-hot pick dots (2.7 ms/step at 7B — RESULTS.md r4
+    #                streaming attribution).
+    #   inc_ranks  — other modes (encode/encdec leave scrambled caches):
+    #                ranks carried in the loop state, updated from the pos
+    #                deltas; one argsort total.
+    ordered = (st.streaming and evict_mode in ("budget", "none")
+               and st.mode == "decoding" and flags.inc_ranks_enabled())
+    inc_ranks = (st.streaming and not ordered
+                 and (spec is None or spec.k == 1)
                  and flags.inc_ranks_enabled())
 
     def cond(carry):
@@ -609,16 +655,18 @@ def _decode_loop(
         # top-k + lax.cond fast path, see RESULTS.md).
         token = sample_topp(sub, lastlog, temperature, top_p)
         out = out.at[:, n].set(jnp.where(done, -1, token))
-        # Reference decode-loop bookkeeping (easykv.py:261, 279): the
-        # sampled token's raw (pre-top-p) probability and the step's
-        # exp(-entropy) confidence of the raw temperature softmax.
-        raw = jax.nn.softmax(
-            lastlog.astype(jnp.float32) / jnp.maximum(temperature, 1e-9),
-            axis=-1,
-        )
-        tp = jnp.take_along_axis(raw, token[:, None], axis=-1)[:, 0]
-        tps = tps.at[:, n].set(jnp.where(done, 0.0, tp))
-        confs = confs.at[:, n].set(jnp.where(done, 0.0, confidence(raw)))
+        if st.collect_stats:
+            # Reference decode-loop bookkeeping (easykv.py:261, 279): the
+            # sampled token's raw (pre-top-p) probability and the step's
+            # exp(-entropy) confidence of the raw temperature softmax.
+            raw = jax.nn.softmax(
+                lastlog.astype(jnp.float32) / jnp.maximum(temperature, 1e-9),
+                axis=-1,
+            )
+            tp = jnp.take_along_axis(raw, token[:, None], axis=-1)[:, 0]
+            tps = tps.at[:, n].set(jnp.where(done, 0.0, tp))
+            confs = confs.at[:, n].set(
+                jnp.where(done, 0.0, confidence(raw)))
         newly_done = done | _isin_eos(token, st.eos_token_ids)
         n = n + 1
         live = ~newly_done
@@ -661,6 +709,7 @@ def _decode_loop(
             params, st.cfg, cache, token[:, None], ctx, spec,
             streaming=st.streaming,
             ranks_all=ranks if inc_ranks else None,
+            ordered=ordered,
         )
         if inc_ranks:
             # new token's slot gets rank = pre-write valid count (uniform
@@ -673,6 +722,8 @@ def _decode_loop(
         if spec is not None and spec.policy != "full":
             cache = evict_cache(cache, spec, ctx.next_pos, prompt_len,
                                 rand_rank, gate_b)
+            if ordered:
+                cache = _compact_one(cache, pos_mid)
             if inc_ranks:
                 # victim removed: every younger slot's rank drops by one
                 evicted = (pos_mid >= 0) & (cache.pos < 0)
@@ -1006,6 +1057,7 @@ def generate(
             mode = "encoding_decoding"
 
     base = dict(
+        collect_stats=report_decoding_latency,
         cfg=model.cfg, policy=gc.kv_policy, stride=stride,
         eos_token_ids=tuple(eos), temp_length=gc.temp_length,
         keep_attention=gc.keep_attention, streaming=gc.streaming,
@@ -1150,7 +1202,7 @@ def _is_full_budget(budget, length) -> bool:
 def _report_confidence(res: DecodeResult) -> None:
     """Verbose per-run summary of the reference's decode-loop bookkeeping
     (easykv.py:261 token_probs, :279 cache_cur_probs exp(-entropy))."""
-    if res.confidence is None:
+    if res.confidence is None or not np.asarray(res.confidence).any():
         return
     emitted = np.asarray(res.out_ids)[0] >= 0
     if not emitted.any():

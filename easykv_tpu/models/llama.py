@@ -266,6 +266,9 @@ def forward(
     streaming: bool = False,     # cache-relative RoPE (StreamingLLM mode)
     ranks_all: Optional[jax.Array] = None,  # (L, B, Hkv, S) precomputed age
                                  # ranks (streaming decode; skips the argsort)
+    ordered: bool = False,       # streaming decode over an age-ORDERED cache
+                                 # (engine compacts on evict): rank == slot,
+                                 # no ranks at all, no pick dots in-kernel
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk through all layers. Returns (logits (B, C, V) f32, new cache)."""
     B, C = token_ids.shape
@@ -280,7 +283,8 @@ def forward(
         # (in-kernel table-pick on TPU), and the per-layer argsorts collapse
         # into one batched rank computation (VERDICT r2 next #5).
         return _decode_forward(params, cfg, cache, token_ids, ctx, spec,
-                               streaming=streaming, ranks_all=ranks_all)
+                               streaming=streaming, ranks_all=ranks_all,
+                               ordered=ordered)
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
@@ -710,6 +714,7 @@ def _decode_forward(
     spec: Optional[PolicySpec],
     streaming: bool = False,
     ranks_all: Optional[jax.Array] = None,   # (L, B, Hkv, S) precomputed
+    ordered: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode with late cache write.
 
@@ -768,7 +773,14 @@ def _decode_forward(
         Sl = cache.pos.shape[-1]
         import os as _os
 
-        if ranks_all is not None:
+        if ordered:
+            # age-ordered cache (engine compacts on evict): rank == slot
+            # index; kernels rotate by a direct per-slot table and the XLA
+            # fallback by broadcast iota — no ranks anywhere
+            ranks_all = jnp.broadcast_to(
+                jnp.arange(cache.pos.shape[-1], dtype=jnp.int32),
+                cache.pos.shape)
+        elif ranks_all is not None:
             # engine-carried incremental ranks (decode loop, k=1 eviction):
             # no per-step argsort at all — see _decode_loop's rank updates
             pass
@@ -812,7 +824,9 @@ def _decode_forward(
                 v_scale=cl.v_scale if cl.quantized else None,
                 sliding_window=cfg.sliding_window,
             )
-            if streaming:
+            if streaming and ordered:
+                kw.update(inv_freq=inv_freq, ordered=True)
+            elif streaming:
                 kw.update(rank=ranks_l, inv_freq=inv_freq)
             if mesh_info is not None:
                 out, probs_kv, p_new = fused_decode_attend_inflight_sharded(

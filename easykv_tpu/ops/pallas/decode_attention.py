@@ -80,7 +80,7 @@ def _kernel(qpos_ref, q_ref, k_ref, v_ref, pos_ref, *rest, scale, quant,
 
 def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
                      *rest, scale, quant, hb, streaming=False,
-                     sliding_window=None):
+                     ordered=False, sliding_window=None):
     """_kernel plus an in-flight (not yet cached) token: its logit joins the
     softmax and its value joins the output; emits the GQA-mean probability of
     both the cached slots and the in-flight token (late-write decode path).
@@ -102,7 +102,14 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
     dequantized K copy: rotation is linear, so the int8 values rotate raw
     and the per-slot dequant scale still folds into the logits. q and the
     in-flight K arrive pre-rotated by the caller."""
-    if streaming:
+    if streaming and ordered:
+        # age-ordered cache (engine compacts on evict): rank == slot index,
+        # so the split-bf16 cos/sin table applies ROW-DIRECT — no one-hot
+        # pick dots at all (they cost 2.7 ms/step at 7B, RESULTS.md r4
+        # streaming attribution)
+        td_ref = rest[0]
+        rest = rest[1:]
+    elif streaming:
         rank_ref, tm_ref, tq_ref = rest[0], rest[1], rest[2]
         rest = rest[3:]
     if quant:
@@ -120,7 +127,16 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
         k = k_ref[0, i].astype(jnp.float32)          # (S, D)
         v = v_ref[0, i]                              # (S, D)
         pos = pos_ref[0, i]                          # (1, S)
-        if streaming and not _SKIP_ROT:
+        if streaming and ordered and not _SKIP_ROT:
+            S, D = k.shape
+            d2 = D // 2
+            td = td_ref[:].astype(jnp.float32)       # (S, 4*d2)
+            cm = td[:, :d2] + td[:, d2:2 * d2]       # ~f32-exact cos
+            sm = td[:, 2 * d2:3 * d2] + td[:, 3 * d2:]
+            k1, k2 = k[:, :d2], k[:, d2:]
+            k = jnp.concatenate(
+                [k1 * cm - k2 * sm, k2 * cm + k1 * sm], axis=-1)
+        elif streaming and not _SKIP_ROT:
             S, D = k.shape
             d2 = D // 2
             rank = rank_ref[0, i].reshape(S, 1)      # (S, 1)
@@ -186,7 +202,8 @@ def _kernel_inflight(qpos_ref, q_ref, kn_ref, vn_ref, k_ref, v_ref, pos_ref,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "sliding_window"))
+@functools.partial(jax.jit, static_argnames=("interpret", "sliding_window",
+                                             "ordered"))
 def fused_decode_attend_inflight(
     q: jax.Array,       # (B, Hq, 1, D) rotated
     k_new: jax.Array,   # (B, Hkv, 1, D) unquantized, rotated
@@ -199,6 +216,7 @@ def fused_decode_attend_inflight(
     v_scale: Optional[jax.Array] = None,
     rank: Optional[jax.Array] = None,     # (B, Hkv, S) age ranks (streaming)
     inv_freq: Optional[jax.Array] = None,  # (D/2,) f32 rope frequencies
+    ordered: bool = False,   # age-ordered cache: rank == slot (no rank arg)
     sliding_window: Optional[int] = None,  # Mistral window (static)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -214,7 +232,7 @@ def fused_decode_attend_inflight(
     rep = Hq // Hkv
     scale = D ** -0.5
     quant = k_scale is not None
-    streaming = rank is not None
+    streaming = (rank is not None) or (ordered and inv_freq is not None)
 
     S_pad = ((S + 127) // 128) * 128
     if S_pad != S:
@@ -226,7 +244,7 @@ def fused_decode_attend_inflight(
         if quant:
             k_scale = jnp.pad(k_scale, [(0, 0), (0, 0), (0, S_pad - S)])
             v_scale = jnp.pad(v_scale, [(0, 0), (0, 0), (0, S_pad - S)])
-        if streaming:
+        if streaming and not ordered:
             rank = jnp.pad(rank, [(0, 0), (0, 0), (0, S_pad - S)])
 
     qg = q.reshape(B, Hkv, rep, D)
@@ -256,9 +274,7 @@ def fused_decode_attend_inflight(
     ]
     inputs = [qg, k_new, v_new, k, v, pos4]
     if streaming:
-        # Two-level split-bf16 rope tables, [c1|c2|s1|s2] column-packed
-        # (see kernel): level m covers ranks mod 128, level q covers the
-        # rank's 128-block index.
+        # Split-bf16 rope tables, [c1|c2|s1|s2] column-packed (see kernel).
         def split_tab(rows):
             ang = (rows.astype(jnp.float32)[:, None]
                    * inv_freq.astype(jnp.float32)[None, :])
@@ -268,14 +284,22 @@ def fused_decode_attend_inflight(
             s2 = (s - s1.astype(jnp.float32)).astype(jnp.bfloat16)
             return jnp.concatenate([c1, c2, s1, s2], axis=1)
 
-        nq = S_pad // 128
-        tm = split_tab(jnp.arange(128))                  # (128, 2D)
-        tq = split_tab(jnp.arange(nq) * 128)             # (S/128, 2D)
         const2 = lambda shape: pl.BlockSpec(
             shape, lambda b, h, qp: (0, 0), memory_space=pltpu.VMEM)
-        in_specs += [spec4((1, hb, 1, S_pad)),
-                     const2((128, 2 * D)), const2((nq, 2 * D))]
-        inputs += [rank[:, :, None, :], tm, tq]
+        if ordered:
+            # one row per SLOT, applied directly (rank == slot index)
+            td = split_tab(jnp.arange(S_pad))            # (S_pad, 2D)
+            in_specs += [const2((S_pad, 2 * D))]
+            inputs += [td]
+        else:
+            # two-level pick: level m covers ranks mod 128, level q the
+            # rank's 128-block index
+            nq = S_pad // 128
+            tm = split_tab(jnp.arange(128))              # (128, 2D)
+            tq = split_tab(jnp.arange(nq) * 128)         # (S/128, 2D)
+            in_specs += [spec4((1, hb, 1, S_pad)),
+                         const2((128, 2 * D)), const2((nq, 2 * D))]
+            inputs += [rank[:, :, None, :], tm, tq]
     if quant:
         in_specs += [spec4((1, hb, 1, S_pad)), spec4((1, hb, 1, S_pad))]
         inputs += [k_scale[:, :, None, :], v_scale[:, :, None, :]]
@@ -289,7 +313,8 @@ def fused_decode_attend_inflight(
     )
     out, probs, pnew = pl.pallas_call(
         functools.partial(_kernel_inflight, scale=scale, quant=quant, hb=hb,
-                          streaming=streaming, sliding_window=sliding_window),
+                          streaming=streaming, ordered=ordered,
+                          sliding_window=sliding_window),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B, Hkv, rep, D), q.dtype),
@@ -299,7 +324,7 @@ def fused_decode_attend_inflight(
         cost_estimate=pl.CostEstimate(
             flops=2 * B * Hkv * rep * S_pad * D * 2
             + (2 * B * Hkv * S_pad * (128 + S_pad // 128) * 2 * D
-               if streaming else 0),
+               if streaming and not ordered else 0),
             bytes_accessed=B * Hkv * S_pad * D * 2 * k.dtype.itemsize,
             transcendentals=B * Hkv * rep * S_pad,
         ),
@@ -326,6 +351,7 @@ def fused_decode_attend_inflight_sharded(
     mesh,
     data_axis: str = "data",
     model_axis: str = "model",
+    ordered: bool = False,
     sliding_window: Optional[int] = None,
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -345,7 +371,7 @@ def fused_decode_attend_inflight_sharded(
     p4 = P(d, m, None, None)
     p3 = P(d, m, None)
     quant = k_scale is not None
-    streaming = rank is not None
+    streaming = (rank is not None) or (ordered and inv_freq is not None)
 
     args = [q, k_new, v_new, k, v, kv_pos, q_pos]
     in_specs = [p4, p4, p4, p4, p4, p3, P(d)]
@@ -354,7 +380,11 @@ def fused_decode_attend_inflight_sharded(
         args += [k_scale, v_scale]
         in_specs += [p3, p3]
         kw_keys += ["k_scale", "v_scale"]
-    if streaming:
+    if streaming and ordered:
+        args += [inv_freq]
+        in_specs += [P(None)]
+        kw_keys += ["inv_freq"]
+    elif streaming:
         args += [rank, inv_freq]
         in_specs += [p3, P(None)]
         kw_keys += ["rank", "inv_freq"]
@@ -363,7 +393,7 @@ def fused_decode_attend_inflight_sharded(
         kw = dict(zip(kw_keys, rest))
         return fused_decode_attend_inflight(
             q_, kn_, vn_, k_, v_, pos_, qp_, interpret=interpret,
-            sliding_window=sliding_window, **kw
+            ordered=ordered, sliding_window=sliding_window, **kw
         )
 
     return jax.shard_map(

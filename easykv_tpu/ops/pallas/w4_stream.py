@@ -203,7 +203,14 @@ def w4a16_gemm_arith(
     gc = gs.shape[0]
     assert K == 2 * Kh and Kh % 128 == 0 and K // gc == 128
     nk = Kh // 128
-    gs3 = arith_scale_pair(gs)            # (2*gch, N) bf16, gch == nk
+    # f32 here, NOT the bf16 pair: the kernel row-slices gs3 at the dynamic
+    # k-step offset (pl.ds), which Mosaic compiles for f32 (8, 128) tiling
+    # but rejects for bf16's packed (16, 128) tiling ("cannot statically
+    # prove that index in dimension 0 is a multiple of 8" — found by
+    # bench.py; the lowering gate does NOT catch Mosaic-compile-stage
+    # errors). The GEMM runs at prefill/batched widths where scale traffic
+    # is amortized over M rows, so bf16 scales buy nothing here anyway.
+    gs3 = arith_scale_pair(gs).astype(jnp.float32)  # (2*gch, N), gch == nk
 
     TM = min(256, ((M + 7) // 8) * 8)
     TN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)

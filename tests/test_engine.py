@@ -153,7 +153,7 @@ def test_decode_confidence_bookkeeping(tiny_model, capsys):
     st = EngineStatics(
         cfg=tiny_model.cfg, mode="decoding", policy="roco", stride=1,
         length=64, budget=16, recent_window_dec=4, max_new_tokens=12,
-        dtype=tiny_model.dtype,
+        dtype=tiny_model.dtype, collect_stats=True,
     )
     ids_pad = np.zeros((1, 64), np.int32)
     ids_pad[0, :24] = ids_of(24)

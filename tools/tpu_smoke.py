@@ -39,10 +39,17 @@ class _LoweredOK(Exception):
     """Raised by the lower-only shims after a successful TPU lowering."""
 
 
-def _lower_only(jit_fn):
+def _lower_only(jit_fn, compile_too=False):
     @functools.wraps(jit_fn)
     def shim(st, *args):
-        jit_fn.trace(st, *args).lower(lowering_platforms=("tpu",))
+        lowered = jit_fn.trace(st, *args).lower(lowering_platforms=("tpu",))
+        if compile_too:
+            # full Mosaic/XLA compile (abstract args — AOT): catches the
+            # compile-stage error classes .lower() cannot (scoped-vmem
+            # OOMs, dynamic-slice alignment provability, layout
+            # legalization). Needs a TPU backend; results land in the
+            # persistent compile cache, prewarming the bench.
+            lowered.compile()
         raise _LoweredOK
     return shim
 
@@ -136,7 +143,7 @@ def make_cfg(cfg_name):
 
 
 def run_scenario(name, fmt, fused, kv_quant, kv_mode, gc, env, B,
-                 prompt_len, stride, cfg_name) -> float:
+                 prompt_len, stride, cfg_name, compile_too=False) -> float:
     import jax
     import numpy as np
 
@@ -159,7 +166,8 @@ def run_scenario(name, fmt, fused, kv_quant, kv_mode, gc, env, B,
         for fn_name in ("_run_decoding", "_run_encoding", "_run_encdec",
                         "_run_ppl", "_run_ppl_full"):
             patched[fn_name] = getattr(gen_mod, fn_name)
-            setattr(gen_mod, fn_name, _lower_only(patched[fn_name]))
+            setattr(gen_mod, fn_name,
+                    _lower_only(patched[fn_name], compile_too))
         flags.use_pallas(True)
         flags.use_interpret(False)
         t0 = time.time()
@@ -188,8 +196,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (dev box / no chip)")
+    ap.add_argument("--compile", action="store_true", dest="compile_too",
+                    help="full AOT compile per scenario (TPU host only; "
+                         "catches Mosaic compile-stage errors — vmem OOM, "
+                         "alignment provability — that lowering misses; "
+                         "minutes per cold graph, cached after)")
     ap.add_argument("-k", default="", help="substring filter on scenario names")
     args = ap.parse_args(argv)
+    if args.compile_too and args.cpu:
+        ap.error("--compile needs the TPU backend")
 
     if args.cpu:
         import jax
@@ -206,8 +221,9 @@ def main(argv=None):
         try:
             # engine report prints (budget ratios) are noise here
             with contextlib.redirect_stdout(io.StringIO()):
-                dt = run_scenario(*s)
-            print(f"  OK   {name:24s} lowered for tpu in {dt:5.1f}s",
+                dt = run_scenario(*s, compile_too=args.compile_too)
+            verb = "compiled" if args.compile_too else "lowered"
+            print(f"  OK   {name:24s} {verb} for tpu in {dt:5.1f}s",
                   flush=True)
         except Exception as e:  # noqa: BLE001 — gate reports all failures
             failures.append((name, e))
