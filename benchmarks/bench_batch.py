@@ -112,7 +112,9 @@ def main():
             log(f"B={B:3d}{' ' + f if f else ''}: "
                 f"{total/dt:9.1f} tok/s aggregate "
                 f"({total/dt/B:7.1f} per stream; {dt:.2f}s)")
+            del args, res  # drop param/result refs so HBM frees
         del model
+        jax.clear_caches()  # compiled executables pin their constants
 
 
 if __name__ == "__main__":

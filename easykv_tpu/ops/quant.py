@@ -350,11 +350,14 @@ def mm(x: jax.Array, w: Union[jax.Array, QuantLinear]) -> jax.Array:
     XLA into the dot; see USE_PALLAS_MATMUL for the Pallas alternative)."""
     if not isinstance(w, dict):
         return x @ w
-    if "q8" in w and x.size // x.shape[-1] > 32:
-        # dual-format linear: int4's dequant-dot at prefill/batched widths
-        # is ~1.5-2x slower than int8 (RESULTS.md "int4 at M>1") — when the
-        # tree carries an int8 prefill copy, wide matmuls take it and the
-        # M<=32 decode keeps streaming packed s4.
+    if "q8" in w and x.size // x.shape[-1] > 1:
+        # dual-format linear: every batched width (prefill chunks AND
+        # batched decode M=2..32) takes the int8 copy — measured faster
+        # than all int4 batched paths end-to-end (RESULTS.md r4 "dual-
+        # format claim WITHDRAWN": prefill 1.2x, 8-stream decode 429 vs
+        # 263 tok/s aggregate; the B=1-only mega kernel doesn't cover
+        # batched decode, and per-op Pallas dispatch sinks the GEMM
+        # there). M == 1 keeps streaming the int4 carrier.
         y = jnp.matmul(x, w["q8"].astype(x.dtype))
         return y * w["s8"].astype(x.dtype)
     if "q4a" in w:

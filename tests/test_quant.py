@@ -272,9 +272,10 @@ def test_int4_engine_ppl_matches_dequantized_tree():
 
 
 def test_dual_format_int4_routing():
-    """dual_int8 trees: M<=32 matmuls take the int4 path bit-for-bit, M>32
-    take the int8 copy bit-for-bit (the deployment trade in RESULTS.md
-    "int4 at M>1": s4 decode latency + int8 prefill throughput)."""
+    """dual_int8 trees: M == 1 (decode GEMV) takes the int4 path
+    bit-for-bit, every M > 1 takes the int8 copy bit-for-bit (RESULTS.md
+    r4 "dual-format claim WITHDRAWN": int8 wins all batched widths
+    end-to-end — prefill chunks AND batched decode)."""
     from easykv_tpu.ops.quant import (
         concat_linears, materialize_params, quantize_linear,
         quantize_linear_int4, quantize_params_int4,
@@ -287,8 +288,10 @@ def test_dual_format_int4_routing():
     dual = {**q4, "q8": q8["q"], "s8": q8["s"]}
 
     x1 = jnp.asarray(rng.normal(size=(1, 64)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32))
     xw = jnp.asarray(rng.normal(size=(128, 64)).astype(np.float32))
     np.testing.assert_array_equal(np.asarray(mm(x1, dual)), np.asarray(mm(x1, q4)))
+    np.testing.assert_array_equal(np.asarray(mm(x2, dual)), np.asarray(mm(x2, q8)))
     np.testing.assert_array_equal(np.asarray(mm(xw, dual)), np.asarray(mm(xw, q8)))
 
     # materialize (q4p -> s4) keeps the int8 copy and the routing
