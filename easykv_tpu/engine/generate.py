@@ -565,12 +565,45 @@ def _ce_from_hidden(st: EngineStatics, params, h: jax.Array, tokens: jax.Array,
 # Decode loop (reference easykv.py:257-363 / :508-526 / :670-748)
 # ---------------------------------------------------------------------------
 
+def _fits_compact(cache: KVCache) -> bool:
+    from ..ops.pallas.sidecar_update import compact_fits
+
+    L, B, H, S = cache.pos.shape
+    return compact_fits(H, S, cache.k.shape[-1], cache.k.dtype.itemsize)
+
+
 def _compact_one(cache: KVCache, pos_mid: jax.Array) -> KVCache:
     """Age-ordered compaction after a k=1 eviction event: slots above each
     head's victim shift down by one (static roll + select — no gather), so
     valid slots stay contiguous and age-ordered. This is the reference's
     physical-removal semantics (truncate_kv_cache_silo, easykv.py:56-68)
-    realized with static shapes; heads without an eviction are untouched."""
+    realized with static shapes; heads without an eviction are untouched.
+
+    On TPU a single aliased Pallas pass handles all 8 arrays
+    (ops/pallas/sidecar_update.fused_compact); off-TPU / under a >1-chip
+    mesh the XLA roll+select below applies."""
+    S_ = cache.pos.shape[-1]
+    mi = flags.active_mesh()
+    if (flags.sidecar_enabled() and S_ % 128 == 0
+            and (mi is None or mi[0].size == 1)
+            and _fits_compact(cache)):
+        from ..ops.pallas.sidecar_update import fused_compact
+
+
+        quant = cache.k_scale is not None and cache.k_scale.shape[-1] == S_
+        res = fused_compact(
+            pos_mid, cache.pos, cache.score, cache.score_sq, cache.counter,
+            cache.k, cache.v,
+            k_scale=cache.k_scale if quant else None,
+            v_scale=cache.v_scale if quant else None,
+            interpret=flags.pallas_interpret(),
+        )
+        pos, score, ssq, counter, k, v = res[:6]
+        scales = res[6:8] if quant else (cache.k_scale, cache.v_scale)
+        return cache._replace(
+            pos=pos, score=score, score_sq=ssq, counter=counter, k=k, v=v,
+            k_scale=scales[0], v_scale=scales[1],
+        )
     evicted = (pos_mid >= 0) & (cache.pos < 0)            # (L, B, H, S)
     any_ev = jnp.any(evicted, axis=-1, keepdims=True)     # (L, B, H, 1)
     S = cache.pos.shape[-1]

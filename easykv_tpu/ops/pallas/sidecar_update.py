@@ -361,3 +361,137 @@ def fused_evict_sharded(
         fn, mesh=mesh, in_specs=(p4,) * 4 + (pb,) * 4,
         out_specs=(p4, p4), check_vma=False,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# compact kernel (ordered streaming decode)
+# ---------------------------------------------------------------------------
+
+def _compact_kernel(pm_ref, pos_ref, score_ref, ssq_ref, cnt_ref,
+                    k_ref, v_ref, *rest, quant):
+    """Age-ordered compaction after a k=1 eviction (ordered streaming
+    decode): per head, slots above the victim shift down by one so valid
+    slots stay contiguous/age-ordered — the reference's physical removal
+    (truncate_kv_cache_silo, easykv.py:56-68) as ONE VMEM pass over all
+    cache arrays, replacing the 8-array XLA roll+select chain
+    (engine/generate._compact_one)."""
+    if quant:
+        ks_ref, vs_ref = rest[0], rest[1]
+        outs = rest[2:]
+    else:
+        outs = rest
+    pos_o, score_o, ssq_o, cnt_o, k_o, v_o = outs[:6]
+
+    pm = pm_ref[0, 0]                        # (hb, S) pre-evict pos
+    pos = pos_ref[0, 0]
+    H, S = pos.shape
+    iota = _iota_s((H, S))
+    evicted = (pm >= 0) & (pos < 0)
+    fired = jnp.any(evicted, axis=-1, keepdims=True)          # (hb, 1)
+    v_slot = jnp.min(jnp.where(evicted, iota, S), axis=-1, keepdims=True)
+    ge = (iota >= v_slot) & fired                              # (hb, S)
+
+    def shift2(ref, out):
+        a = ref[0, 0]
+        sh = jnp.concatenate([a[:, 1:], a[:, :1]], axis=1)
+        out[0, 0] = jnp.where(ge, sh, a)
+
+    pos_n = jnp.where(ge, jnp.concatenate([pos[:, 1:], pos[:, :1]], axis=1),
+                      pos)
+    # the (now one-past-the-end) last slot wrapped around to slot 0's value
+    pos_o[0, 0] = jnp.where(fired & (iota == S - 1), -1, pos_n)
+    shift2(score_ref, score_o)
+    shift2(ssq_ref, ssq_o)
+    shift2(cnt_ref, cnt_o)
+    if quant:
+        ks_o, vs_o = outs[6], outs[7]
+        shift2(ks_ref, ks_o)
+        shift2(vs_ref, vs_o)
+
+    ge3 = ge[:, :, None]                                       # (hb, S, 1)
+    for ref, out in ((k_ref, k_o), (v_ref, v_o)):
+        a = ref[0, 0]                                          # (hb, S, D)
+        # sub-32-bit K/V (int8/bf16): Mosaic can't insert a minor dim on
+        # narrow types ("only supported for 32-bit") and pltpu.bitcast
+        # packs along the SUBLANE (S) dim — useless for S-row shifts — so
+        # the select runs on an exact f32 upcast (int8 values and bf16
+        # round-trip losslessly through f32)
+        a32 = a.astype(jnp.float32) if a.dtype.itemsize < 4 else a
+        sh = jnp.concatenate([a32[:, 1:, :], a32[:, :1, :]], axis=1)
+        out[0, 0] = jnp.where(ge3, sh, a32).astype(a.dtype)
+
+
+def compact_fits(H: int, S: int, D: int, kv_bytes: int) -> bool:
+    """Mosaic requires block sublane dims divisible by 8, so the compact
+    kernel's head blocks are fixed at hb=8 (or the whole H when H < 8 —
+    then the block equals the array dim, always legal); past the VMEM
+    budget (K/V in+out + f32 select temps) callers keep the XLA
+    roll+select."""
+    hb = 8 if H >= 8 else H
+    return hb * S * (2 * D * (kv_bytes * 2 + 8) + 7 * 4 * 2) \
+        <= 12 * 1024 * 1024
+
+
+def _pick_hb_compact(H: int) -> int:
+    return 8 if H >= 8 else H
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_compact(
+    pos_mid: jax.Array,    # (L, B, H, S) int32 pre-evict positions
+    pos: jax.Array,        # (L, B, H, S) int32 post-evict
+    score: jax.Array,      # (L, B, H, S) f32
+    score_sq: jax.Array,
+    counter: jax.Array,
+    k: jax.Array,          # (L, B, H, S, D)
+    v: jax.Array,
+    k_scale: Optional[jax.Array] = None,   # (L, B, H, S) f32 (int8 KV)
+    v_scale: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Returns (pos, score, score_sq, counter, k, v[, k_scale, v_scale])
+    compacted."""
+    L, B, H, S = pos.shape
+    D = k.shape[-1]
+    assert S % 128 == 0
+    quant = k_scale is not None
+    assert compact_fits(H, S, D, k.dtype.itemsize)
+    hb = _pick_hb_compact(H)
+
+    def s4(shape):
+        return pl.BlockSpec(shape, lambda l, b, h: (l, b, h, 0),
+                            memory_space=pltpu.VMEM)
+
+    def s5(shape):
+        return pl.BlockSpec(shape, lambda l, b, h: (l, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    side = s4((1, 1, hb, S))
+    kv5 = s5((1, 1, hb, S, D))
+    in_specs = [side] * 5 + [kv5, kv5] + ([side, side] if quant else [])
+    out_specs = [side] * 4 + [kv5, kv5] + ([side, side] if quant else [])
+    out_shape = [
+        jax.ShapeDtypeStruct(pos.shape, pos.dtype),
+        jax.ShapeDtypeStruct(score.shape, score.dtype),
+        jax.ShapeDtypeStruct(score_sq.shape, score_sq.dtype),
+        jax.ShapeDtypeStruct(counter.shape, counter.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ] + ([jax.ShapeDtypeStruct(k_scale.shape, k_scale.dtype),
+          jax.ShapeDtypeStruct(v_scale.shape, v_scale.dtype)]
+         if quant else [])
+    inputs = [pos_mid, pos, score, score_sq, counter, k, v]
+    if quant:
+        inputs += [k_scale, v_scale]
+    # alias every array input (all but pos_mid) onto its output: compaction
+    # is in-place, no second HBM allocation
+    aliases = {i + 1: i for i in range(len(out_shape))}
+    return pl.pallas_call(
+        functools.partial(_compact_kernel, quant=quant),
+        grid=(L, B, H // hb),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*inputs)

@@ -331,3 +331,52 @@ def test_ordered_compaction_invariant():
     # K rows moved with the slots on the evicting heads
     kk = np.asarray(out.k)[0, 0, 0, :, 0]
     np.testing.assert_array_equal(kk[:9], [0, 1, 2, 4, 5, 6, 7, 8, 9])
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_fused_compact_matches_xla(quant):
+    """fused_compact (one aliased Pallas pass) vs the XLA roll+select in
+    _compact_one: identical on random evict patterns, incl. int8 scales."""
+    from easykv_tpu.cache import init_cache
+    from easykv_tpu.engine.generate import _compact_one
+    from easykv_tpu.ops.pallas.sidecar_update import fused_compact
+
+    rng = np.random.default_rng(9)
+    L, B, H, S, D = 2, 1, 2, 128, 8
+    cache = init_cache(L, B, H, S, D, dtype=jnp.float32, quantized=quant)
+    pos = np.full((L, B, H, S), -1, np.int32)
+    n_valid = 20
+    pos[..., :n_valid] = np.arange(n_valid)
+    pos_mid = pos.copy()
+    # random victim per (L, B, H) on layer 0 only (gated event shape)
+    pos_post = pos.copy()
+    for li in range(L - 1):
+        for h in range(H):
+            pos_post[li, 0, h, rng.integers(0, n_valid - 1)] = -1
+    dt = np.int8 if quant else np.float32
+    cache = cache._replace(
+        pos=jnp.asarray(pos_post),
+        k=jnp.asarray(rng.integers(-5, 5, (L, B, H, S, D)).astype(dt)),
+        v=jnp.asarray(rng.integers(-5, 5, (L, B, H, S, D)).astype(dt)),
+        score=jnp.asarray(rng.normal(size=(L, B, H, S)).astype(np.float32)),
+        score_sq=jnp.asarray(rng.normal(size=(L, B, H, S)).astype(np.float32) ** 2),
+        counter=jnp.asarray(rng.integers(0, 9, (L, B, H, S)).astype(np.float32)),
+    )
+    if quant:
+        cache = cache._replace(
+            k_scale=jnp.asarray(rng.normal(size=(L, B, H, S)).astype(np.float32) ** 2),
+            v_scale=jnp.asarray(rng.normal(size=(L, B, H, S)).astype(np.float32) ** 2),
+        )
+    ref = _compact_one(cache, jnp.asarray(pos_mid))  # XLA (pallas off)
+    from easykv_tpu import flags
+
+    flags.use_pallas(True)
+    try:
+        got = _compact_one(cache, jnp.asarray(pos_mid))  # kernel (interpret)
+    finally:
+        flags.use_pallas(None)
+    for name, a, b in zip(ref._fields, ref, got):
+        if a is None:
+            continue
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
+                                      err_msg=name)
