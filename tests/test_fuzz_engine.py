@@ -74,3 +74,85 @@ def test_fuzz_ppl(model, policy):
     ppl = generate(model, ids, {"budget": 0.5, "kv_policy": policy},
                    kv_mode="ppl", stride=4)
     assert np.isfinite(ppl) and ppl > 0
+
+
+def _stream_cases():
+    rng = np.random.default_rng(7)
+    cases = []
+    for _ in range(8):
+        cases.append(dict(
+            length=int(rng.integers(16, 48)),
+            budget=int(rng.integers(6, 20)),
+            policy=str(rng.choice(["roco", "h2o_head", "tova", "recency",
+                                   "random"])),
+            tokens=int(rng.integers(8, 24)),
+            window=int(rng.choice([0, 5, 9])),
+            seed=int(rng.integers(0, 99)),
+        ))
+    return cases
+
+
+@pytest.mark.parametrize("case", _stream_cases())
+def test_fuzz_streaming_rank_strategies(case):
+    """All three streaming rank strategies — age-ORDERED compaction
+    (production decoding mode), engine-carried incremental ranks, and the
+    per-step argsort — produce the same trajectory under random budgets,
+    policies, and sliding windows (the r4 ordered path + window masks)."""
+    from easykv_tpu import flags
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=1024,
+        sliding_window=case["window"] or None,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    m = CausalLM(cfg, params)
+    ids = np.random.default_rng(case["seed"]).integers(
+        1, 120, size=(case["length"],))
+    gc = {"budget": case["budget"], "kv_policy": case["policy"],
+          "max_new_tokens": case["tokens"], "temperature": 1e-9,
+          "top_p": 1.0, "eos_token_ids": [], "streaming": True,
+          "seed": case["seed"]}
+
+    out = {}
+    # default: ordered compaction; flag off: per-step argsort. The
+    # incremental-ranks strategy is exercised by forcing mode-detection
+    # off via a non-"decoding" shaped... it only triggers in encdec/enc
+    # decode loops; here A/B ordered vs argsort.
+    for label, flag in (("ordered", None), ("argsort", False)):
+        flags.use_inc_ranks(flag)
+        try:
+            out[label] = generate(m, ids, dict(gc), kv_mode="decoding",
+                                  stride=1)
+        finally:
+            flags.use_inc_ranks(None)
+    assert out["ordered"] == out["argsort"], (case, out)
+
+
+@pytest.mark.parametrize("mode", ["encoding", "encoding_decoding"])
+def test_streaming_incremental_ranks_other_modes(mode):
+    """The encode-family decode loops start from eviction-scrambled caches
+    and use the INCREMENTAL-ranks strategy (ordered compaction is
+    decoding-mode only); trajectories must match the per-step argsort."""
+    from easykv_tpu import flags
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=48, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=1024,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    m = CausalLM(cfg, params)
+    ids = np.random.default_rng(11).integers(1, 120, size=(40,))
+    gc = {"budget": 24 if mode == "encoding_decoding" else 0.6,
+          "kv_policy": "roco", "max_new_tokens": 10, "temperature": 1e-9,
+          "top_p": 1.0, "eos_token_ids": [], "streaming": True, "seed": 2}
+    out = {}
+    for label, flag in (("inc", None), ("argsort", False)):
+        flags.use_inc_ranks(flag)
+        try:
+            out[label] = generate(m, ids, dict(gc), kv_mode=mode, stride=4)
+        finally:
+            flags.use_inc_ranks(None)
+    assert out["inc"] == out["argsort"], (mode, out)
