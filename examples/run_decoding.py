@@ -12,6 +12,9 @@ def main():
     add_model_args(ap)
     ap.add_argument("--budget", type=int, nargs="+", default=[300, 150])
     ap.add_argument("--policy", default="roco")
+    ap.add_argument("--streaming", action="store_true",
+                    help="StreamingLLM cache-relative positions "
+                         "(reference generation_config['streaming'])")
     ap.add_argument("--max-new-tokens", type=int, default=256)
     args = ap.parse_args()
 
@@ -33,6 +36,7 @@ def main():
             "budget": budget,
             "kv_policy": args.policy,
             "eos_token_ids": [],
+            "streaming": args.streaming,
         }
         out = model.easykv_generate(ids, generation_config=gen_config)
         print(f"[budget={budget}] {out!r}")
