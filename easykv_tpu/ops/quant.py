@@ -497,11 +497,13 @@ def quantize_params_int4(params: Any, group_size: int = 128,
 
     dual_int8=True additionally stores an int8 per-channel copy ("q8"/"s8",
     quantized from the ORIGINAL weights, not the int4 values) on every layer
-    linear; `mm` then routes matmuls wider than M=32 (prefill chunks, batched
-    decode above 32 streams) through the int8 copy, which is ~1.5-2x faster
-    than the int4 dequant-dot at those widths, while M<=32 (single-stream
-    and moderately batched decode) keeps the packed-s4 stream. Costs +1x int8 weight HBM (~+3.4 GB at 7B); prefill logits then
-    carry int8 (not int4) quantization error."""
+    linear; `mm` then routes EVERY matmul wider than M=1 (prefill chunks
+    and batched decode) through the int8 copy — measured the fastest at
+    all batched widths end-to-end (RESULTS.md r4 "dual-format claim
+    WITHDRAWN": prefill 1.2x over the int4 GEMM kernel, 8-stream decode
+    429 vs 263 tok/s aggregate) — while the M=1 decode GEMV keeps the
+    half-bytes int4 stream. Costs +1x int8 weight HBM (~+3.4 GB at 7B);
+    batched-width logits then carry int8 (not int4) quantization error."""
     out = dict(params)
     layers = dict(params["layers"])
     for name in ("wq", "wk", "wv", "wo", "wg", "wu", "wd"):
