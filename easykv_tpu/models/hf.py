@@ -108,7 +108,9 @@ def params_from_hf_state_dict_streamed(
 
     quantize: None (plain `dtype` tree) | "int8" (per-channel w8a16, like
     ops.quant.quantize_params) | "int4" (group-wise w4a16 with an int8 lm
-    head, like quantize_params_int4)."""
+    head, like quantize_params_int4) | "int4_dual" (int4 + the int8 copy
+    on every layer linear, like quantize_params_int4(dual_int8=True) —
+    the fastest batched-serving configuration, RESULTS.md r4)."""
     from ..ops.quant import (_fit_group, quantize_linear,
                              quantize_linear_int4)
 
@@ -125,9 +127,13 @@ def params_from_hf_state_dict_streamed(
         w = w.astype(dtype)
         if qmode == "int8":
             return quantize_linear(w)
-        if qmode == "int4":
-            return quantize_linear_int4(
+        if qmode in ("int4", "int4_dual"):
+            q4 = quantize_linear_int4(
                 w, _fit_group(w.shape[-2], group_size), layout=int4_layout)
+            if qmode == "int4_dual":
+                q8 = quantize_linear(w)
+                q4 = {**q4, "q8": q8["q"], "s8": q8["s"]}
+            return q4
         return w
 
     def family(fmt, transpose=True, qmode=None):
@@ -136,7 +142,7 @@ def params_from_hf_state_dict_streamed(
         jax.block_until_ready(out)  # free the raw family before the next
         return out
 
-    qw = quantize if quantize in ("int8", "int4") else None
+    qw = quantize if quantize in ("int8", "int4", "int4_dual") else None
     p: Params = {
         "embed": jax.jit(lambda e: e.astype(dtype))(
             put(f"{prefix}embed_tokens.weight")),

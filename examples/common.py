@@ -48,9 +48,13 @@ def add_model_args(ap: argparse.ArgumentParser):
                     help="use a small random-weight model (no checkpoint needed)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--template", default="llama2", choices=sorted(TEMPLATES))
-    ap.add_argument("--quant", choices=["none", "int8", "int4"], default="none",
+    ap.add_argument("--quant",
+                    choices=["none", "int8", "int4", "int4_dual"],
+                    default="none",
                     help="weight quantization: int8 = w8a16 per-channel, "
-                    "int4 = w4a16 group-128 scales")
+                    "int4 = w4a16 group-128 scales, int4_dual = int4 + an "
+                    "int8 copy routed at every batched width (fastest "
+                    "serving config; +1x int8 HBM)")
 
 
 def _maybe_quantize(params, args):
@@ -62,6 +66,10 @@ def _maybe_quantize(params, args):
         from easykv_tpu.ops.quant import quantize_params_int4
 
         return quantize_params_int4(params)
+    if getattr(args, "quant", "none") == "int4_dual":
+        from easykv_tpu.ops.quant import quantize_params_int4
+
+        return quantize_params_int4(params, dual_int8=True)
     return params
 
 
