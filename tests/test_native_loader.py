@@ -164,6 +164,8 @@ def test_streamed_load_matches_host_path(tmp_path):
         (None, host),
         ("int8", quantize_params(host)),
         ("int4", quantize_params_int4(host, group_size=32)),
+        ("int4_dual", quantize_params_int4(host, group_size=32,
+                                           dual_int8=True)),
     ):
         _, got = load_hf_checkpoint(str(tmp_path), dtype=jnp.float32,
                                     quantize=quant, group_size=32,
