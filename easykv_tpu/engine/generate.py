@@ -1103,7 +1103,7 @@ def generate(
                 flags.encode_unroll(), flags.dense_write_enabled(),
                 flags.step_kernel_enabled(), flags.mega_kernel_enabled(),
                 flags.w4a_kernel_enabled(), flags.pallas_interpret(),
-                flags.inc_ranks_enabled()),
+                flags.inc_ranks_enabled(), flags.mega_batch_enabled()),
     )
     seed = jax.random.PRNGKey(gc.seed)
     temp = jnp.float32(gc.temperature)

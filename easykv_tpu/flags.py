@@ -152,6 +152,20 @@ def mega_kernel_enabled() -> bool:
     return pallas_enabled()
 
 
+def mega_batch_enabled() -> bool:
+    """Batched (B > 1) one-pallas-call decode step
+    (ops/pallas/fused_decode_batch.py). Same applicability rules as the
+    B == 1 mega kernel (arith-int4 fused tree, single chip, non-streaming);
+    default ON where the mega kernel is. EASYKV_TPU_MEGA_BATCH=0 drops
+    batched decode back to the per-layer scan (per-op GEMM kernels)."""
+    import os
+
+    env = os.environ.get("EASYKV_TPU_MEGA_BATCH")
+    if env is not None:
+        return env not in ("0", "false", "off") and mega_kernel_enabled()
+    return mega_kernel_enabled()
+
+
 _W4A_KERNEL_OVERRIDE: Optional[bool] = None
 
 

@@ -757,13 +757,15 @@ def _decode_forward(
     q_pos = ctx.q_pos  # (B, 1)
 
     lyr = params["layers"]
-    use_mega = (
-        use_kernel and mesh_info is None and B == 1 and not streaming
+    mega_tree = (
+        use_kernel and mesh_info is None and not streaming
         and flags.mega_kernel_enabled()
         and isinstance(lyr.get("wqkv"), dict) and "q4a" in lyr["wqkv"]
         and "gs3" in lyr["wqkv"] and "bqkv" not in lyr
         and isinstance(lyr.get("wgu"), dict) and "q4a" in lyr["wgu"]
     )
+    use_mega = mega_tree and B == 1
+    use_mega_b = mega_tree and B > 1 and flags.mega_batch_enabled()
 
     if streaming:
         # Batched cache-relative geometry for ALL layers: one argsort for
@@ -873,6 +875,23 @@ def _decode_forward(
         vn = vn_m[:, None]
         probs = probs_m[:, None, :, 0, :]         # (L, 1, Hkv, S)
         p_new = pnew_m[:, None, :, None]          # (L, 1, Hkv, 1)
+    elif use_mega_b:
+        # Batched one-pallas-call decode step (B > 1): the per-op GEMM
+        # dispatch that capped batched int4 decode at 61% of int8
+        # (RESULTS.md "r4 batched decode") disappears — one grid streams
+        # every layer's weights once for all B rows.
+        from ..ops.pallas.fused_decode_batch import fused_decode_step_batch
+
+        quantized = cache.k.dtype == jnp.int8
+        hm, kn, vn, probs_m, pnew_m = fused_decode_step_batch(
+            lyr, cfg, cache.k, cache.v, cache.pos, h[:, 0], q_pos[:, 0],
+            k_scale=cache.k_scale if quantized else None,
+            v_scale=cache.v_scale if quantized else None,
+            interpret=interp,
+        )
+        h = hm[:, None]                           # (B, 1, D)
+        probs = probs_m[:, :, :, 0, :]            # (L, B, Hkv, S)
+        p_new = pnew_m[..., None]                 # (L, B, Hkv, 1)
     elif streaming:
         h, (kn, vn, probs, p_new) = jax.lax.scan(
             layer, h, (params["layers"], tuple(cache), ranks_all, n_valid)

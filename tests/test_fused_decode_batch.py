@@ -1,0 +1,121 @@
+"""Batched one-pallas-call decode step (ops/pallas/fused_decode_batch) vs
+the per-layer scan: same logits and same cache trajectory, interpret mode
+on CPU f32.
+
+B=3 exercises the Bp=8 sublane padding (padded rows must stay zero and
+never leak into real rows), GQA (rep = 2) the reshaped per-head q slices,
+and a dead row (q_pos = -1, token_valid False) the live-masking — all
+against the scan path, which is itself oracle-locked."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from easykv_tpu import flags
+from easykv_tpu.cache import init_cache
+from easykv_tpu.config import ModelConfig
+from easykv_tpu.models import llama
+from easykv_tpu.models.llama import StepCtx, forward
+from easykv_tpu.ops.quant import (
+    fuse_gemv_params,
+    materialize_params,
+    quantize_params_int4,
+)
+from easykv_tpu.policies import PHASE_DECODE, PolicySpec
+
+B = 3
+
+
+def _build(kv_quant, sliding_window=None):
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=128, sliding_window=sliding_window,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(0))
+    qp = quantize_params_int4(params, group_size=16, layout="arith")
+    qp = fuse_gemv_params(qp)
+    qp = materialize_params(qp)
+    assert "gs3" in qp["layers"]["wqkv"]
+    cache = init_cache(cfg.num_hidden_layers, B, 2, 32, cfg.head_dim,
+                       dtype=jnp.float32, quantized=kv_quant)
+    T = 8
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(1, 60, (B, T)), jnp.int32)
+    ctx = StepCtx(
+        q_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T)),
+        token_valid=jnp.ones((B, T), bool),
+        counter_init=jnp.zeros((B, T), jnp.float32),
+        next_pos=jnp.full((B,), T, jnp.int32),
+        prompt_len=jnp.full((B,), T, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(False),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    _, cache = forward(qp, cfg, cache, ids, ctx, None)
+    return cfg, qp, cache
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+@pytest.mark.parametrize("sliding_window", [None, 6])
+def test_fused_decode_batch_matches_scan(kv_quant, sliding_window,
+                                         monkeypatch):
+    cfg, qp, cache = _build(kv_quant, sliding_window)
+    tok = jnp.asarray([[7], [11], [3]], jnp.int32)
+    dctx = StepCtx(
+        q_pos=jnp.asarray([[8], [8], [-1]], jnp.int32),  # row 2 dead
+        token_valid=jnp.asarray([[True], [True], [False]]),
+        counter_init=jnp.zeros((B, 1), jnp.float32),
+        next_pos=jnp.asarray([9, 9, 8], jnp.int32),
+        prompt_len=jnp.full((B,), 8, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(True),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    spec = PolicySpec(policy="roco", phase=PHASE_DECODE, k=1,
+                      sink_length=4, recent_window=2, feasible_k=4)
+    flags.use_pallas(True)
+    try:
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+        ref_logits, ref_cache = forward(qp, cfg, cache, tok, dctx, spec)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+        got_logits, got_cache = forward(qp, cfg, cache, tok, dctx, spec)
+    finally:
+        flags.use_pallas(None)
+    tol = dict(atol=1e-4, rtol=1e-4)
+    # dead row's logits are unspecified (engine gates sampling on
+    # token_valid); compare live rows only
+    np.testing.assert_allclose(
+        np.asarray(got_logits)[:2], np.asarray(ref_logits)[:2], **tol)
+    for name, a, b in zip(ref_cache._fields, ref_cache, got_cache):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), err_msg=name, **tol)
+
+
+def test_mega_batch_cg_chunking(monkeypatch):
+    # CG=2 forces multi-chunk LHS regions incl. a remainder chunk
+    # (gch=4 at group_size 16, hidden 64 -> khq/128 ... exercised via env)
+    monkeypatch.setenv("EASYKV_TPU_MEGAB_CG", "2")
+    cfg, qp, cache = _build(False)
+    tok = jnp.asarray([[7], [11], [3]], jnp.int32)
+    dctx = StepCtx(
+        q_pos=jnp.full((B, 1), 8, jnp.int32),
+        token_valid=jnp.ones((B, 1), bool),
+        counter_init=jnp.zeros((B, 1), jnp.float32),
+        next_pos=jnp.full((B,), 9, jnp.int32),
+        prompt_len=jnp.full((B,), 8, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(True),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    flags.use_pallas(True)
+    try:
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+        ref_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+        got_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+    finally:
+        flags.use_pallas(None)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4)

@@ -92,9 +92,15 @@ def scenarios():
         # streaming: inflight decode kernel with in-kernel rank rotation
         ("int4_decode_stream", "int4", True, True, "decoding",
          {**dec, "streaming": True}, {}, 1, 512, 1, "llama7b"),
-        # B=2: non-mega decode path + arith GEMM at M=2
+        # B=2: batched mega kernel (fused_decode_batch, Bp=8 padding)
         ("int4_decode_b2", "int4", True, True, "decoding", dec, {}, 2, 512, 1,
          "llama7b"),
+        # B=2 with the batched mega off: per-layer scan + arith GEMM at M=2
+        ("int4_decode_b2_nomegab", "int4", True, True, "decoding", dec,
+         {"EASYKV_TPU_MEGA_BATCH": "0"}, 2, 512, 1, "llama7b"),
+        # batched mega on GQA shapes (rep=4 per-head q reshape) + window
+        ("mistral_decode_b2", "int4", True, True, "decoding", dec, {},
+         2, 512, 1, "mistral7b"),
         # mega off: per-op arith GEMV kernel (w4a16_gemv_arith) decode
         ("int4_decode_nomega", "int4", True, True, "decoding", dec,
          {"EASYKV_TPU_MEGA": "0"}, 1, 512, 1, "llama7b"),
