@@ -765,7 +765,11 @@ def _decode_forward(
         and isinstance(lyr.get("wgu"), dict) and "q4a" in lyr["wgu"]
     )
     use_mega = mega_tree and B == 1
-    use_mega_b = mega_tree and B > 1 and flags.mega_batch_enabled()
+    # B cap: at Bp=16 the batched kernel's LHS + activation scratch tips
+    # the 16M scoped-vmem limit at 7B shapes (a compile-time error, not a
+    # fallback) — wider batches ride the per-layer scan until the kernel
+    # grows a B-tiled variant
+    use_mega_b = (mega_tree and 1 < B <= 8 and flags.mega_batch_enabled())
 
     if streaming:
         # Batched cache-relative geometry for ALL layers: one argsort for

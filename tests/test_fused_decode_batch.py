@@ -93,6 +93,41 @@ def test_fused_decode_batch_matches_scan(kv_quant, sliding_window,
             np.asarray(b), np.asarray(a), err_msg=name, **tol)
 
 
+def test_mega_batch_unpadded(monkeypatch):
+    # B == 8 hits the Bp == B branch (no sublane padding, no dead scratch
+    # rows); parity on logits for all rows
+    global B
+    saved = B
+    B = 8
+    try:
+        cfg, qp, cache = _build(False)
+        tok = jnp.asarray(
+            np.random.default_rng(3).integers(1, 60, (B, 1)), jnp.int32)
+        dctx = StepCtx(
+            q_pos=jnp.full((B, 1), 8, jnp.int32),
+            token_valid=jnp.ones((B, 1), bool),
+            counter_init=jnp.zeros((B, 1), jnp.float32),
+            next_pos=jnp.full((B,), 9, jnp.int32),
+            prompt_len=jnp.full((B,), 8, jnp.int32),
+            evict_gate=jnp.zeros((B,), bool),
+            update_gate=jnp.array(True),
+            rand_rank=jnp.zeros((B,), jnp.int32),
+        )
+        flags.use_pallas(True)
+        try:
+            monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+            ref_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+            monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+            got_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+        finally:
+            flags.use_pallas(None)
+        np.testing.assert_allclose(
+            np.asarray(got_logits), np.asarray(ref_logits),
+            atol=1e-4, rtol=1e-4)
+    finally:
+        B = saved
+
+
 def test_mega_batch_cg_chunking(monkeypatch):
     # CG=2 forces multi-chunk LHS regions incl. a remainder chunk
     # (gch=4 at group_size 16, hidden 64 -> khq/128 ... exercised via env)
