@@ -198,6 +198,30 @@ def main():
         log(f"  {policy}: {gen_tokens} tokens in {dt:.2f}s -> {tps:.2f} tok/s")
         return tps
 
+    def run_batched(model, B):
+        gc = {
+            "budget": budget, "kv_policy": "roco",
+            "max_new_tokens": gen_tokens, "temperature": 1.0, "top_p": 0.95,
+            "eos_token_ids": [],
+        }
+        import contextlib
+
+        ids_b = np.broadcast_to(ids, (B, ids.shape[-1])).copy()
+        t0 = time.time()
+        with contextlib.redirect_stdout(sys.stderr):
+            generate(model, ids_b, gc, kv_mode="decoding", stride=1)
+        log(f"  B={B}: warm-up (compile+run) {time.time()-t0:.1f}s")
+        t0 = time.time()
+        with contextlib.redirect_stdout(sys.stderr):
+            # different seed: a bit-identical repeat can return ~instantly
+            generate(model, ids_b, {**gc, "seed": 1}, kv_mode="decoding",
+                     stride=1)
+        dt = time.time() - t0
+        tps = B * gen_tokens / dt
+        log(f"  B={B}: {B * gen_tokens} tokens in {dt:.2f}s -> "
+            f"{tps:.1f} tok/s aggregate")
+        return tps
+
     results = []
     for fmt in formats:
         model, name = build_model(fmt)
@@ -211,6 +235,17 @@ def main():
             "unit": "tokens/s/chip",
             "vs_baseline": round(tps_budget / tps_full, 4),
         })
+        if fmt == "int4" and on_tpu:
+            # batched serving aggregate through the B>1 mega kernel
+            # (RESULTS.md "r4 batched mega"); vs_baseline = batching
+            # efficiency (aggregate / B*single-stream)
+            tps_b8 = run_batched(model, 8)
+            results.append({
+                "metric": f"decode_tokens_per_sec_{name}_b8_aggregate",
+                "value": round(tps_b8, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(tps_b8 / (8 * tps_budget), 4),
+            })
         del model  # free device HBM before building the next format
 
     result = results[0]

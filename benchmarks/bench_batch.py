@@ -104,6 +104,10 @@ def main():
                     jnp.float32(0.95), jax.random.PRNGKey(0))
             res = _run_decoding(*args)
             jax.block_until_ready(res.out_ids)
+            # timed call uses a DIFFERENT seed: a bit-identical repeat of
+            # the warm-up call can return ~instantly (the B=1 artifact in
+            # the r4 tables), a fresh seed forces a real execution
+            args = args[:-1] + (jax.random.PRNGKey(1),)
             t0 = time.time()
             res = _run_decoding(*args)
             jax.block_until_ready(res.out_ids)

@@ -134,6 +134,11 @@ def fused_decode_step_batch(
     Gq, Go, Gg, Gd = khq // gq, kho // go, khq // gg, khd // gd
     G_MAX = max(Gq, Go, Gg, Gd)
 
+    # Timing-only debug knob (results become garbage): compile out the
+    # attention phases' math to attribute the batched step's time.
+    # EASYKV_TPU_MEGA_SKIP=attn (same knob as the B=1 kernel)
+    skip_attn = "attn" in os.environ.get("EASYKV_TPU_MEGA_SKIP", "")
+
     # cos/sin per batch row (f32, matches ops.rope.apply_rope)
     from ..rope import rope_base_for, rope_inv_freq
 
@@ -240,6 +245,13 @@ def fused_decode_step_batch(
         # ---- attention phases (one program per (batch row, head block)) -
         @pl.when((t >= oA) & (t < oO))
         def _attn():
+            if skip_attn:
+                for hh in range(hb):
+                    probs_o[0, 0, hh] = jnp.zeros_like(probs_o[0, 0, hh])
+                    kn_o[0, 0, hh] = jnp.zeros_like(kn_o[0, 0, hh])
+                    vn_o[0, 0, hh] = jnp.zeros_like(vn_o[0, 0, hh])
+                    pnew_o[0, 0, hh] = jnp.zeros_like(pnew_o[0, 0, hh])
+                return
             ai = t - oA
             bi = ai // TAh
             qpos = qp_ref[bi]
