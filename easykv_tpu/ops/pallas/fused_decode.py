@@ -59,9 +59,13 @@ def _pick_tn(Kh: int, N: int) -> int:
     return N  # tiny test models: whole width
 
 
-def _pick_hb(Hkv: int, S: int, Dh: int, itemsize: int) -> int:
+def _pick_hb(Hkv: int, S: int, Dh: int, itemsize: int,
+             budget: int = 1 << 19) -> int:
+    """KV heads per attention phase, largest divisor of Hkv whose K/V block
+    fits `budget` bytes of VMEM (the batched kernel passes a tighter budget
+    — its LHS/activation scratch leaves less headroom)."""
     for hb in (8, 4, 2):
-        if Hkv % hb == 0 and hb * S * Dh * itemsize <= 1 << 19:
+        if Hkv % hb == 0 and hb * S * Dh * itemsize <= budget:
             return hb
     return 1
 

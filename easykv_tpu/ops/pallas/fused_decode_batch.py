@@ -38,7 +38,6 @@ easykv.py:188-196). Non-streaming, T == 1, no attention bias.
 """
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional, Tuple
 
@@ -47,7 +46,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .fused_decode import _pick_tn, _rms
+from .fused_decode import _pick_hb, _pick_tn, _rms
 from .w4_stream import _shl4_i8
 
 NEG_INF = -1e30
@@ -114,11 +113,7 @@ def fused_decode_step_batch(
     TQ, TO, TG, TD = Nq // tnq, D // tno, 2 * F // tng, D // tnd
     # tighter per-head-block KV budget than the B=1 kernel (256K vs 512K):
     # the batched LHS/activation scratch leaves less VMEM headroom
-    hb = 1
-    for cand in (8, 4, 2):
-        if Hkv % cand == 0 and cand * S * Dh * k.dtype.itemsize <= 1 << 18:
-            hb = cand
-            break
+    hb = _pick_hb(Hkv, S, Dh, k.dtype.itemsize, budget=1 << 18)
     TAh = Hkv // hb
     TA = B * TAh
     NP = TQ + TA + TO + TG + TD
@@ -211,6 +206,12 @@ def fused_decode_step_batch(
                     lhsBC[2 * r0:2 * r0 + CG * Bp + rows, 0:kc], u_c,
                     dimension_numbers=DN,
                     preferred_element_type=jnp.float32)
+                # INVARIANT: when cg < CG the lhsBC rows [rows, CG*Bp) of
+                # this chunk's B region are never written by prep_lhs and
+                # hold arbitrary scratch bits; they are sound to feed the
+                # dot ONLY because matmul rows are independent and the
+                # slices below discard exactly those rows — keep bv/cv
+                # bounds in sync with prep_lhs's c0 layout if refactoring.
                 bv = bc[0:rows]
                 cv = bc[CG * Bp:CG * Bp + rows]
                 rhi = a + bv - cv

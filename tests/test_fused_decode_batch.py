@@ -27,7 +27,7 @@ from easykv_tpu.policies import PHASE_DECODE, PolicySpec
 B = 3
 
 
-def _build(kv_quant, sliding_window=None):
+def _build(kv_quant, sliding_window=None, batch=B):
     cfg = ModelConfig(
         vocab_size=64, hidden_size=64, intermediate_size=128,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -38,20 +38,21 @@ def _build(kv_quant, sliding_window=None):
     qp = fuse_gemv_params(qp)
     qp = materialize_params(qp)
     assert "gs3" in qp["layers"]["wqkv"]
-    cache = init_cache(cfg.num_hidden_layers, B, 2, 32, cfg.head_dim,
+    cache = init_cache(cfg.num_hidden_layers, batch, 2, 32, cfg.head_dim,
                        dtype=jnp.float32, quantized=kv_quant)
     T = 8
     ids = jnp.asarray(
-        np.random.default_rng(1).integers(1, 60, (B, T)), jnp.int32)
+        np.random.default_rng(1).integers(1, 60, (batch, T)), jnp.int32)
     ctx = StepCtx(
-        q_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T)),
-        token_valid=jnp.ones((B, T), bool),
-        counter_init=jnp.zeros((B, T), jnp.float32),
-        next_pos=jnp.full((B,), T, jnp.int32),
-        prompt_len=jnp.full((B,), T, jnp.int32),
-        evict_gate=jnp.zeros((B,), bool),
+        q_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                               (batch, T)),
+        token_valid=jnp.ones((batch, T), bool),
+        counter_init=jnp.zeros((batch, T), jnp.float32),
+        next_pos=jnp.full((batch,), T, jnp.int32),
+        prompt_len=jnp.full((batch,), T, jnp.int32),
+        evict_gate=jnp.zeros((batch,), bool),
         update_gate=jnp.array(False),
-        rand_rank=jnp.zeros((B,), jnp.int32),
+        rand_rank=jnp.zeros((batch,), jnp.int32),
     )
     _, cache = forward(qp, cfg, cache, ids, ctx, None)
     return cfg, qp, cache
@@ -96,36 +97,31 @@ def test_fused_decode_batch_matches_scan(kv_quant, sliding_window,
 def test_mega_batch_unpadded(monkeypatch):
     # B == 8 hits the Bp == B branch (no sublane padding, no dead scratch
     # rows); parity on logits for all rows
-    global B
-    saved = B
-    B = 8
+    nb = 8
+    cfg, qp, cache = _build(False, batch=nb)
+    tok = jnp.asarray(
+        np.random.default_rng(3).integers(1, 60, (nb, 1)), jnp.int32)
+    dctx = StepCtx(
+        q_pos=jnp.full((nb, 1), 8, jnp.int32),
+        token_valid=jnp.ones((nb, 1), bool),
+        counter_init=jnp.zeros((nb, 1), jnp.float32),
+        next_pos=jnp.full((nb,), 9, jnp.int32),
+        prompt_len=jnp.full((nb,), 8, jnp.int32),
+        evict_gate=jnp.zeros((nb,), bool),
+        update_gate=jnp.array(True),
+        rand_rank=jnp.zeros((nb,), jnp.int32),
+    )
+    flags.use_pallas(True)
     try:
-        cfg, qp, cache = _build(False)
-        tok = jnp.asarray(
-            np.random.default_rng(3).integers(1, 60, (B, 1)), jnp.int32)
-        dctx = StepCtx(
-            q_pos=jnp.full((B, 1), 8, jnp.int32),
-            token_valid=jnp.ones((B, 1), bool),
-            counter_init=jnp.zeros((B, 1), jnp.float32),
-            next_pos=jnp.full((B,), 9, jnp.int32),
-            prompt_len=jnp.full((B,), 8, jnp.int32),
-            evict_gate=jnp.zeros((B,), bool),
-            update_gate=jnp.array(True),
-            rand_rank=jnp.zeros((B,), jnp.int32),
-        )
-        flags.use_pallas(True)
-        try:
-            monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
-            ref_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
-            monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
-            got_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
-        finally:
-            flags.use_pallas(None)
-        np.testing.assert_allclose(
-            np.asarray(got_logits), np.asarray(ref_logits),
-            atol=1e-4, rtol=1e-4)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+        ref_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+        got_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
     finally:
-        B = saved
+        flags.use_pallas(None)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits),
+        atol=1e-4, rtol=1e-4)
 
 
 def test_mega_batch_cg_chunking(monkeypatch):
