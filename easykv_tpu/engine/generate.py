@@ -572,7 +572,35 @@ def _fits_compact(cache: KVCache) -> bool:
     return compact_fits(H, S, cache.k.shape[-1], cache.k.dtype.itemsize)
 
 
-def _compact_one(cache: KVCache, pos_mid: jax.Array) -> KVCache:
+def _prerotate_cache(cache: KVCache, cfg) -> KVCache:
+    """One-time transform entering pre-rotated ordered streaming decode
+    (flags.prerot_enabled): multiply every slot's stored K by R(slot). The
+    decoding-mode prefill cached K post-RoPE at its true position (== slot
+    in the fresh ordered cache), so the composed value R(slot)·R(pos)·k
+    reproduces the reference's prefix double-rotation artifact exactly
+    (easykv.py:232 vs :253-256 — see _prefill's non-streaming prefix note);
+    from here on attention reads K with no rotation and the compact-on-evict
+    shift maintains R(rank) with one fixed R(-theta) Givens per shift."""
+    from ..cache import quantize_kv
+    from ..ops.rope import apply_rope, rope_base_for, rope_inv_freq
+
+    inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
+    S = cache.pos.shape[-1]
+    slots = jnp.arange(S, dtype=jnp.int32)
+    quantized = cache.k.dtype == jnp.int8
+    if quantized:
+        kf = cache.k.astype(jnp.float32) * cache.k_scale[..., None]
+    else:
+        kf = cache.k.astype(jnp.float32)
+    rot = apply_rope(kf, slots, inv_freq)
+    if quantized:
+        knq, ksc = quantize_kv(rot)
+        return cache._replace(k=knq, k_scale=ksc)
+    return cache._replace(k=rot.astype(cache.k.dtype))
+
+
+def _compact_one(cache: KVCache, pos_mid: jax.Array,
+                 rot_inv_freq: Optional[jax.Array] = None) -> KVCache:
     """Age-ordered compaction after a k=1 eviction event: slots above each
     head's victim shift down by one (static roll + select — no gather), so
     valid slots stay contiguous and age-ordered. This is the reference's
@@ -581,10 +609,18 @@ def _compact_one(cache: KVCache, pos_mid: jax.Array) -> KVCache:
 
     On TPU a single aliased Pallas pass handles all 8 arrays
     (ops/pallas/sidecar_update.fused_compact); off-TPU / under a >1-chip
-    mesh the XLA roll+select below applies."""
+    mesh the XLA roll+select below applies.
+
+    rot_inv_freq (pre-rotated ordered streaming, flags.prerot_enabled):
+    each SHIFTED K row additionally picks up the fixed R(-theta) Givens
+    update (its age rank just dropped by one) and — for int8 caches — is
+    requantized with a fresh per-row scale. V and the sidecars shift
+    unrotated. Runs on the XLA path (the rotation rides the same roll +
+    select pass XLA already fuses well, RESULTS.md r4 fused-compact A/B)."""
     S_ = cache.pos.shape[-1]
     mi = flags.active_mesh()
-    if (flags.sidecar_enabled() and S_ % 128 == 0
+    if (rot_inv_freq is None
+            and flags.sidecar_enabled() and S_ % 128 == 0
             and (mi is None or mi[0].size == 1)
             and _fits_compact(cache)):
         from ..ops.pallas.sidecar_update import fused_compact
@@ -620,11 +656,34 @@ def _compact_one(cache: KVCache, pos_mid: jax.Array) -> KVCache:
     pos = compact(cache.pos)
     # the (now one-past-the-end) last slot wrapped around to slot 0's value
     pos = jnp.where((iota == S - 1) & any_ev[..., 0][..., None], -1, pos)
+    if rot_inv_freq is None:
+        k_new, ksc_new = compact(cache.k), compact(cache.k_scale)
+    else:
+        from ..cache import quantize_kv
+
+        quant = cache.k_scale is not None and cache.k_scale.shape[3] == S
+        k_roll = jnp.roll(cache.k, -1, axis=3).astype(jnp.float32)
+        if quant:
+            k_roll = k_roll * jnp.roll(cache.k_scale, -1, axis=3)[..., None]
+        d2 = k_roll.shape[-1] // 2
+        c = jnp.cos(rot_inv_freq)
+        s = jnp.sin(rot_inv_freq)
+        x1, x2 = k_roll[..., :d2], k_roll[..., d2:]
+        # R(-theta): the shifted row's rank dropped by exactly one
+        k_rot = jnp.concatenate([x1 * c + x2 * s, x2 * c - x1 * s], axis=-1)
+        gem = ge[..., None]
+        if quant:
+            knq, ksc = quantize_kv(k_rot)
+            k_new = jnp.where(gem, knq, cache.k)
+            ksc_new = jnp.where(ge, ksc, cache.k_scale)
+        else:
+            k_new = jnp.where(gem, k_rot.astype(cache.k.dtype), cache.k)
+            ksc_new = cache.k_scale
     return cache._replace(
-        k=compact(cache.k), v=compact(cache.v), pos=pos,
+        k=k_new, v=compact(cache.v), pos=pos,
         score=compact(cache.score), score_sq=compact(cache.score_sq),
         counter=compact(cache.counter),
-        k_scale=compact(cache.k_scale), v_scale=compact(cache.v_scale),
+        k_scale=ksc_new, v_scale=compact(cache.v_scale),
     )
 
 
@@ -672,9 +731,25 @@ def _decode_loop(
     #                deltas; one argsort total.
     ordered = (st.streaming and evict_mode in ("budget", "none")
                and st.mode == "decoding" and flags.inc_ranks_enabled())
+    # pre-rotated ordered cache (flags.prerot_enabled): K stored already
+    # rank-rotated, attention reads it with no per-step rotation; the
+    # compact-on-evict shift applies the fixed R(-theta) update
+    prerot = ordered and flags.prerot_enabled()
+    if prerot:
+        from ..ops.rope import rope_base_for, rope_inv_freq
+
+        rot_if = rope_inv_freq(st.cfg.head_dim, rope_base_for(st.cfg))
+        cache = _prerotate_cache(cache, st.cfg)
+    else:
+        rot_if = None
     inc_ranks = (st.streaming and not ordered
                  and (spec is None or spec.k == 1)
                  and flags.inc_ranks_enabled())
+    # eviction folded into the forward's fused sidecar pass? (then the
+    # separate evict_cache dispatch below is skipped — llama.decode_evict_
+    # folded and the forward share the predicate, so they cannot disagree)
+    fold_evict = llama.decode_evict_folded(st.cfg, cache, B, spec,
+                                           st.streaming)
 
     def cond(carry):
         _, _, _, n, done, _, _, _, _, _, _ = carry
@@ -742,7 +817,7 @@ def _decode_loop(
             params, st.cfg, cache, token[:, None], ctx, spec,
             streaming=st.streaming,
             ranks_all=ranks if inc_ranks else None,
-            ordered=ordered,
+            ordered=ordered, prerotated=prerot,
         )
         if inc_ranks:
             # new token's slot gets rank = pre-write valid count (uniform
@@ -752,11 +827,11 @@ def _decode_loop(
                          axis=-1, keepdims=True)           # (L, B, 1, 1)
             ranks = jnp.where(written, nv, ranks)
         pos_mid = cache.pos
-        if spec is not None and spec.policy != "full":
+        if spec is not None and spec.policy != "full" and not fold_evict:
             cache = evict_cache(cache, spec, ctx.next_pos, prompt_len,
                                 rand_rank, gate_b)
             if ordered:
-                cache = _compact_one(cache, pos_mid)
+                cache = _compact_one(cache, pos_mid, rot_inv_freq=rot_if)
             if inc_ranks:
                 # victim removed: every younger slot's rank drops by one
                 evicted = (pos_mid >= 0) & (cache.pos < 0)

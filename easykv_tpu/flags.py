@@ -213,6 +213,39 @@ def inc_ranks_enabled() -> bool:
         "0", "false", "off")
 
 
+_PREROT_OVERRIDE: Optional[bool] = None
+
+
+def use_prerot(enabled: Optional[bool]) -> None:
+    """Force the pre-rotated ordered streaming-decode cache on/off
+    (None = env EASYKV_TPU_PREROT, default on). Off = the r4 path: raw-K
+    cache rotated by slot index inside the attention kernel every step."""
+    global _PREROT_OVERRIDE
+    _PREROT_OVERRIDE = enabled
+
+
+def prerot_enabled() -> bool:
+    """Pre-rotated ordered streaming decode: cached K is stored already
+    rotated by its age rank (== slot index in the ordered cache), so the
+    attention hot path reads K with NO per-step rotation at all — the
+    rotation moves into (a) the decode write (the engine already computes
+    the q_rel-rotated K) and (b) the compact-on-evict shift, where each
+    shifted row picks up one fixed R(-theta) Givens update on values the
+    compaction already streams. Rotation work drops from every-slot-every-
+    step to shifted-rows-only (~(S - victim)/S, and victims sit above the
+    protected prompt). Semantics match the rank-rotation path (including
+    the reference's prefix double-rotation artifact — the one-time
+    _prerotate_cache transform composes on top of the prefix's true-position
+    RoPE) up to fp rounding and int8 requant drift, quantified in
+    RESULTS.md."""
+    import os
+
+    if _PREROT_OVERRIDE is not None:
+        return _PREROT_OVERRIDE
+    return os.environ.get("EASYKV_TPU_PREROT", "1") not in (
+        "0", "false", "off")
+
+
 _LAYER_MAJOR_OVERRIDE: Optional[bool] = None
 
 

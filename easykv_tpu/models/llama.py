@@ -269,6 +269,9 @@ def forward(
     ordered: bool = False,       # streaming decode over an age-ORDERED cache
                                  # (engine compacts on evict): rank == slot,
                                  # no ranks at all, no pick dots in-kernel
+    prerotated: bool = False,    # ordered cache stores K already rotated by
+                                 # its slot index (flags.prerot_enabled):
+                                 # attention reads K with no rotation at all
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk through all layers. Returns (logits (B, C, V) f32, new cache)."""
     B, C = token_ids.shape
@@ -284,7 +287,7 @@ def forward(
         # into one batched rank computation (VERDICT r2 next #5).
         return _decode_forward(params, cfg, cache, token_ids, ctx, spec,
                                streaming=streaming, ranks_all=ranks_all,
-                               ordered=ordered)
+                               ordered=ordered, prerotated=prerotated)
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
@@ -705,6 +708,43 @@ def _logits_tail(h: jax.Array, params: Params, cfg: ModelConfig) -> jax.Array:
     return _lm_head(h, params["lm_head"]).astype(jnp.float32)
 
 
+def _decode_kernel_plan(cfg, B: int):
+    """(use_kernel, mesh_info) for the decode fast path — shared between
+    _decode_forward and the engine-side fold predicate so the two can never
+    disagree. shard_map needs even shards: batch over data, KV heads over
+    model; a trivial 1-device mesh calls kernels directly."""
+    use_kernel = _pallas_enabled()  # sliding-window is in-kernel since r4
+    mesh_info = flags.active_mesh()
+    Hkv = cfg.num_key_value_heads
+    if use_kernel and mesh_info is not None:
+        mesh = mesh_info[0]
+        dsz = mesh.shape.get(mesh_info[1], 1)
+        msz = mesh.shape.get(mesh_info[2], 1)
+        if B % dsz != 0 or Hkv % msz != 0:
+            use_kernel = False
+        elif mesh.size == 1:
+            mesh_info = None
+    return use_kernel, mesh_info
+
+
+def decode_evict_folded(cfg, cache: KVCache, B: int,
+                        spec: Optional[PolicySpec],
+                        streaming: bool) -> bool:
+    """True when _decode_forward's fused sidecar pass also applies the
+    step's gated eviction event in-kernel (single-chip, lane-aligned S,
+    PHASE_DECODE k=1 specs) — the engine must then SKIP its separate
+    evict_cache dispatch. Streaming keeps the two-phase path: ordered
+    compaction and incremental ranks need the pre-evict positions."""
+    from ..ops.pallas.sidecar_update import evict_supported
+
+    if streaming or not evict_supported(spec):
+        return False
+    use_kernel, mesh_info = _decode_kernel_plan(cfg, B)
+    S = cache.pos.shape[-1]
+    return (use_kernel and mesh_info is None and S % 128 == 0
+            and flags.sidecar_enabled())
+
+
 def _decode_forward(
     params: Params,
     cfg: ModelConfig,
@@ -715,6 +755,7 @@ def _decode_forward(
     streaming: bool = False,
     ranks_all: Optional[jax.Array] = None,   # (L, B, Hkv, S) precomputed
     ordered: bool = False,
+    prerotated: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode with late cache write.
 
@@ -731,18 +772,8 @@ def _decode_forward(
     L, _, _, S = cache.pos.shape
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
-    use_kernel = _pallas_enabled()  # sliding-window is in-kernel since r4
-    mesh_info = flags.active_mesh()
+    use_kernel, mesh_info = _decode_kernel_plan(cfg, B)
     interp = flags.pallas_interpret()
-    if use_kernel and mesh_info is not None:
-        # shard_map needs even shards: batch over data, KV heads over model.
-        mesh = mesh_info[0]
-        dsz = mesh.shape.get(mesh_info[1], 1)
-        msz = mesh.shape.get(mesh_info[2], 1)
-        if B % dsz != 0 or Hkv % msz != 0:
-            use_kernel = False
-        elif mesh.size == 1:
-            mesh_info = None  # trivial mesh: call the kernel directly
 
     # Fused sidecar path: slot select + score update + sidecar row write
     # happen in one Pallas pass after the scan (ops/pallas/sidecar_update);
@@ -758,7 +789,8 @@ def _decode_forward(
 
     lyr = params["layers"]
     mega_tree = (
-        use_kernel and mesh_info is None and not streaming
+        use_kernel and mesh_info is None
+        and (not streaming or (ordered and prerotated))
         and flags.mega_kernel_enabled()
         and isinstance(lyr.get("wqkv"), dict) and "q4a" in lyr["wqkv"]
         and "gs3" in lyr["wqkv"] and "bqkv" not in lyr
@@ -809,11 +841,13 @@ def _decode_forward(
         q, k, v = _proj_qkv(x, p, B, 1, Hq, Hkv, Dh)
         if streaming:
             # q and the in-flight K rotate by the cache-relative position;
-            # the cached K stays raw and rotates by rank at attend time.
+            # the cached K stays raw and rotates by rank at attend time
+            # (prerotated: the cache already holds rank-rotated K, so the
+            # in-flight K is stored rotated too and attention is plain).
             q_rel = nv_l[:, None]                        # (B, 1)
             q_att = apply_rope(q, q_rel[:, None, :], inv_freq)
             kn_att = apply_rope(k, q_rel[:, None, :], inv_freq)
-            kn_emit = k                                  # cache stores raw K
+            kn_emit = kn_att if prerotated else k
         else:
             q_att = apply_rope(q, q_pos[:, None, :], inv_freq)
             kn_att = apply_rope(k, q_pos[:, None, :], inv_freq)
@@ -830,7 +864,9 @@ def _decode_forward(
                 v_scale=cl.v_scale if cl.quantized else None,
                 sliding_window=cfg.sliding_window,
             )
-            if streaming and ordered:
+            if streaming and ordered and prerotated:
+                pass  # pre-rotated K: plain non-streaming attention math
+            elif streaming and ordered:
                 kw.update(inv_freq=inv_freq, ordered=True)
             elif streaming:
                 kw.update(rank=ranks_l, inv_freq=inv_freq)
@@ -847,7 +883,7 @@ def _decode_forward(
                 )
         else:
             k_raw, v_raw = kv_dequant(cl, h.dtype)
-            if streaming:
+            if streaming and not prerotated:
                 k_raw = apply_rope(k_raw, ranks_l, inv_freq)
             out, probs_kv, p_new = attend_inflight(
                 q_att, kn_att, v, k_raw, v_raw, cl.pos, q_pos[:, 0],
@@ -868,10 +904,16 @@ def _decode_forward(
         from ..ops.pallas.fused_decode import fused_decode_step
 
         quantized = cache.k.dtype == jnp.int8
+        # streaming-prerotated: RoPE angle is the cache-relative position
+        # (layer-0 valid count — uniform across layers in ordered decoding
+        # mode, where every eviction removes exactly one slot per head in
+        # every layer); the mask still compares true positions.
+        rope_pos = n_valid[0] if (streaming and prerotated) else None
         hm, kn_m, vn_m, probs_m, pnew_m = fused_decode_step(
             lyr, cfg, cache.k, cache.v, cache.pos, h[0], q_pos[0],
             k_scale=cache.k_scale if quantized else None,
             v_scale=cache.v_scale if quantized else None,
+            rope_pos=rope_pos,
             interpret=interp,
         )
         h = hm[None]                              # (1, 1, D)
@@ -887,10 +929,12 @@ def _decode_forward(
         from ..ops.pallas.fused_decode_batch import fused_decode_step_batch
 
         quantized = cache.k.dtype == jnp.int8
+        rope_pos = n_valid[0] if (streaming and prerotated) else None
         hm, kn, vn, probs_m, pnew_m = fused_decode_step_batch(
             lyr, cfg, cache.k, cache.v, cache.pos, h[:, 0], q_pos[:, 0],
             k_scale=cache.k_scale if quantized else None,
             v_scale=cache.v_scale if quantized else None,
+            rope_pos=rope_pos,
             interpret=interp,
         )
         h = hm[:, None]                           # (B, 1, D)
@@ -924,8 +968,16 @@ def _decode_forward(
                 model_axis=mesh_info[2], policy=policy, interpret=interp,
             )
         else:
+            fold = decode_evict_folded(cfg, cache, B, spec, streaming)
+            ekw = {}
+            if fold:
+                # the step's gated eviction event folds into the same VMEM
+                # pass (engine skips evict_cache — decode_evict_folded)
+                ekw = dict(espec=spec, evict_gate=ctx.evict_gate,
+                           next_pos=ctx.next_pos, prompt_len=ctx.prompt_len,
+                           rand_rank=ctx.rand_rank)
             pos, score, ssq, counter, ids_all = fused_write_update(
-                *sc_args, policy=policy, interpret=interp,
+                *sc_args, policy=policy, interpret=interp, **ekw,
             )
         new_cache = cache._replace(
             pos=pos, score=score, score_sq=ssq, counter=counter,
@@ -945,30 +997,32 @@ def _write_kv_rows(
     live: jax.Array,  # (B,) bool
 ) -> KVCache:
     """K/V (+ dequant scale) row scatter of a decode step — the companion of
-    the fused sidecar kernel, which owns pos/score/score_sq/counter. Rows
-    with live=False write back their current contents (no-op)."""
+    the fused sidecar kernel, which owns pos/score/score_sq/counter.
+
+    Rows with live=False (EOS'd streams) write UNCONDITIONALLY too: their
+    write slot keeps pos < 0 (the sidecar kernel gates the pos write on
+    token_valid), so the K/V bytes land in a permanently invalid slot that
+    no later attention masks in and no later select can hand to a live row
+    (done is sticky). The r4 conditional variant read the slot's current
+    rows back (4 gathers) just to re-write them — XLA lowers both the
+    gather and the scatter to serialized per-row loops, and the gathers
+    were ~half the 1.95 ms/step this op cost at 7B B=8
+    (benchmarks/bench_b8.py)."""
     L, B, H, _ = ids.shape
     l_ix = jnp.arange(L)[:, None, None, None]
     b_ix = jnp.arange(B)[None, :, None, None]
     h_ix = jnp.arange(H)[None, None, :, None]
-    lv = live[None, :, None, None]
-    cur = lambda arr: jnp.take_along_axis(arr, ids, axis=3)
+    del live
 
     k_scale, v_scale = cache.k_scale, cache.v_scale
     if cache.k.dtype == jnp.int8:
-        knq, k_sc = quantize_kv(kn)
-        vnq, v_sc = quantize_kv(vn)
-        k_w = jnp.where(lv[..., None], knq, cur4(cache.k, ids))
-        v_w = jnp.where(lv[..., None], vnq, cur4(cache.v, ids))
-        ksc_w = jnp.where(lv, k_sc, cur(cache.k_scale))
-        vsc_w = jnp.where(lv, v_sc, cur(cache.v_scale))
-        k_scale = k_scale.at[l_ix, b_ix, h_ix, ids].set(ksc_w)
-        v_scale = v_scale.at[l_ix, b_ix, h_ix, ids].set(vsc_w)
+        k_w, k_sc = quantize_kv(kn)
+        v_w, v_sc = quantize_kv(vn)
+        k_scale = k_scale.at[l_ix, b_ix, h_ix, ids].set(k_sc)
+        v_scale = v_scale.at[l_ix, b_ix, h_ix, ids].set(v_sc)
     else:
-        k_w = jnp.where(lv[..., None], kn.astype(cache.k.dtype),
-                        cur4(cache.k, ids))
-        v_w = jnp.where(lv[..., None], vn.astype(cache.v.dtype),
-                        cur4(cache.v, ids))
+        k_w = kn.astype(cache.k.dtype)
+        v_w = vn.astype(cache.v.dtype)
     return cache._replace(
         k=cache.k.at[l_ix, b_ix, h_ix, ids].set(k_w),
         v=cache.v.at[l_ix, b_ix, h_ix, ids].set(v_w),

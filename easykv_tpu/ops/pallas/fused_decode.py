@@ -88,6 +88,10 @@ def fused_decode_step(
     q_pos: jax.Array,        # (1,) int32 current position
     k_scale: Optional[jax.Array] = None,   # (L, 1, Hkv, S) f32 when int8
     v_scale: Optional[jax.Array] = None,
+    rope_pos: Optional[jax.Array] = None,  # (1,) int32 RoPE angle position
+                                           # (streaming-prerotated: the
+                                           # cache-relative position; mask
+                                           # still compares q_pos)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (h (1, D) pre-final-norm, kn (L, Hkv, 1, Dh) rotated,
@@ -141,7 +145,8 @@ def fused_decode_step(
     from ..rope import rope_base_for, rope_inv_freq
 
     inv_freq = rope_inv_freq(Dh, rope_base_for(cfg))          # (Dh/2,)
-    ang = jnp.maximum(q_pos[0], 0).astype(jnp.float32) * inv_freq
+    rp = q_pos if rope_pos is None else rope_pos
+    ang = jnp.maximum(rp[0], 0).astype(jnp.float32) * inv_freq
     cos = jnp.cos(ang)[None, :]                                # (1, Dh/2)
     sin = jnp.sin(ang)[None, :]
 

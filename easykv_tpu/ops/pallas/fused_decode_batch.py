@@ -26,10 +26,11 @@ Alignment: B is padded to Bp (multiple of 8) so every LHS scratch region
 offset (c*CG*Bp) and every f32 value slice (g*Bp) is tiling-legal; padded
 rows carry zeros end-to-end (rows never mix across the batch dim, so
 garbage cannot leak into real rows). Attention runs only for the B real
-rows: the attention segment of the phase schedule is B*(Hkv/hb) programs,
-each reusing the per-layer inflight kernel's math (decode_attention.py)
-for one (batch, head-block) with the (1, S)/(rep, S) shapes the grid
-already proved out at B=1.
+rows: ONE phase per head block covers ALL B rows (blocks (1, B, hb, S, Dh);
+the batch index is a Python loop constant, so every row access is a static
+slice) — the r4 per-(batch, head-block) schedule's B*(Hkv/hb) programs per
+layer cost 2.4 ms/step at B=8 in dispatch + masked-pick VPU work
+(benchmarks/bench_b8.py decomposition).
 
 Semantics match models.llama._decode_forward's batched layer scan exactly
 (fp32 softmax, slot-validity + optional sliding-window masking, GQA-mean
@@ -79,6 +80,8 @@ def fused_decode_step_batch(
     q_pos: jax.Array,        # (B,) int32 current positions (-1 = dead row)
     k_scale: Optional[jax.Array] = None,   # (L, B, Hkv, S) f32 when int8
     v_scale: Optional[jax.Array] = None,
+    rope_pos: Optional[jax.Array] = None,  # (B,) int32 RoPE angle positions
+                                           # (streaming-prerotated)
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Returns (h (B, D) pre-final-norm, kn (L, B, Hkv, 1, Dh) rotated,
@@ -111,11 +114,15 @@ def fused_decode_step_batch(
     tnq, tno = _pick_tn(khq, Nq), _pick_tn(kho, D)
     tng, tnd = _pick_tn(khq, 2 * F), _pick_tn(khd, D)
     TQ, TO, TG, TD = Nq // tnq, D // tno, 2 * F // tng, D // tnd
-    # tighter per-head-block KV budget than the B=1 kernel (256K vs 512K):
-    # the batched LHS/activation scratch leaves less VMEM headroom
-    hb = _pick_hb(Hkv, S, Dh, k.dtype.itemsize, budget=1 << 18)
-    TAh = Hkv // hb
-    TA = B * TAh
+    # ONE attention phase per head block covering ALL B rows (r5): the r4
+    # per-(batch, head-block) schedule ran B*(Hkv/hb) = 128 programs/layer
+    # at B=8 and cost 2.4 ms/step in program dispatch + masked-pick VPU
+    # work (bench_b8.py decomposition). Blocks are (1, B, hb, S, Dh); the
+    # batch index is a PYTHON loop constant in-kernel, so every row access
+    # is a static (relayout-able) slice — no iota-mask picks, no masked
+    # read-modify-write stores.
+    hb = _pick_hb(Hkv, S, Dh, B * k.dtype.itemsize, budget=1 << 20)
+    TA = TAh = Hkv // hb
     NP = TQ + TA + TO + TG + TD
     oQ, oA, oO, oG, oD = 0, TQ, TQ + TA, TQ + TA + TO, TQ + TA + TO + TG
 
@@ -138,7 +145,8 @@ def fused_decode_step_batch(
     from ..rope import rope_base_for, rope_inv_freq
 
     inv_freq = rope_inv_freq(Dh, rope_base_for(cfg))          # (Dh/2,)
-    ang = (jnp.maximum(q_pos, 0).astype(jnp.float32)[:, None]
+    rp = q_pos if rope_pos is None else rope_pos
+    ang = (jnp.maximum(rp, 0).astype(jnp.float32)[:, None]
            * inv_freq[None, :])                                # (B, Dh/2)
     cos = jnp.cos(ang)
     sin = jnp.sin(ang)
@@ -243,103 +251,82 @@ def fused_decode_step_batch(
             y = mm_tile(qp_p, qp_g, gq, khq, tnq, Gq)
             qkv_s[:, pl.ds(j * tnq, tnq)] = y
 
-        # ---- attention phases (one program per (batch row, head block)) -
+        # ---- attention phases (one program per head block, ALL B rows) --
         @pl.when((t >= oA) & (t < oO))
         def _attn():
             if skip_attn:
                 for hh in range(hb):
-                    probs_o[0, 0, hh] = jnp.zeros_like(probs_o[0, 0, hh])
-                    kn_o[0, 0, hh] = jnp.zeros_like(kn_o[0, 0, hh])
-                    vn_o[0, 0, hh] = jnp.zeros_like(vn_o[0, 0, hh])
-                    pnew_o[0, 0, hh] = jnp.zeros_like(pnew_o[0, 0, hh])
+                    for b in range(B):
+                        probs_o[0, b, hh] = jnp.zeros_like(probs_o[0, b, hh])
+                        kn_o[0, b, hh] = jnp.zeros_like(kn_o[0, b, hh])
+                        vn_o[0, b, hh] = jnp.zeros_like(vn_o[0, b, hh])
+                        pnew_o[0, b, hh] = jnp.zeros_like(pnew_o[0, b, hh])
                 return
             ai = t - oA
-            bi = ai // TAh
-            qpos = qp_ref[bi]
-            live = qpos >= 0
             d2 = Dh // 2
 
-            def pick(tile):
-                # row bi of an aligned (R, C) block — Mosaic does not
-                # implement dynamic sublane loads at unaligned indices, so
-                # the whole (tiny) block is read and the row mask-summed
-                R = tile.shape[0]
-                m = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) == bi
-                return jnp.sum(jnp.where(m, tile, 0.0), axis=0,
-                               keepdims=True)
-
-            c = pick(cos_r[:])                           # (1, Dh/2) f32
-            s_ = pick(sin_r[:])
-
-            def rot(x2):                       # (rows, Dh) f32 -> rope'd
-                x1, xx2 = x2[:, :d2], x2[:, d2:]
-                return jnp.concatenate(
-                    [x1 * c - xx2 * s_, xx2 * c + x1 * s_], axis=-1)
-
             for hh in range(hb):
-                head = (ai % TAh) * hb + hh
-                qoff = head * rep * Dh
-                # per-rep-row picks concatenated — a (1, rep*Dh) ->
-                # (rep, Dh) reshape of the picked VALUE is an unsupported
-                # Mosaic shape cast (ref-slice reshapes, as in the B=1
-                # kernel, are fine; value reshapes after a mask-sum are not)
-                q2 = jnp.concatenate(
-                    [pick(qkv_s[:, pl.ds(qoff + r * Dh, Dh)])
-                     for r in range(rep)], axis=0) if rep > 1 else pick(
-                         qkv_s[:, pl.ds(qoff, Dh)])          # (rep, Dh)
+                head = ai * hb + hh          # traced; lane offsets below
+                qoff = head * rep * Dh       # stay Dh-aligned (128)
                 koff = Hq * Dh + head * Dh
                 voff = (Hq + Hkv) * Dh + head * Dh
-                kn2 = pick(qkv_s[:, pl.ds(koff, Dh)])        # (1, Dh) f32
-                vn2 = pick(qkv_s[:, pl.ds(voff, Dh)])
-                q_rot = rot(q2)
-                kn_rot = rot(kn2)
+                for b in range(B):
+                    qpos = qp_ref[b]
+                    live = qpos >= 0
+                    c = cos_r[b:b + 1]                   # (1, Dh/2) f32
+                    s_ = sin_r[b:b + 1]
 
-                kc = k_r[0, 0, hh].astype(jnp.float32)       # (S, Dh)
-                vc = v_r[0, 0, hh]
-                pv = pos_r[0, 0, hh]                         # (1, S)
-                logits = jax.lax.dot_general(
-                    q_rot, kc, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale  # (rep, S)
-                if quant:
-                    logits = logits * ksc_r[0, 0, hh]
-                logit_new = jnp.sum(q_rot * kn_rot, axis=-1,
-                                    keepdims=True) * scale       # (rep, 1)
-                mask = (pv >= 0) & (pv <= qpos)
-                if sliding_window is not None:
-                    # Mistral sliding window (matches
-                    # ops.attention.attend_inflight semantics)
-                    mask &= pv > qpos - sliding_window
-                logits = jnp.where(mask, logits, NEG_INF)
-                logit_new = jnp.where(live, logit_new, NEG_INF)
-                m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
-                                logit_new)
-                e = jnp.where(mask, jnp.exp(logits - m), 0.0)
-                e_new = jnp.where(live, jnp.exp(logit_new - m), 0.0)
-                denom = jnp.maximum(
-                    jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
-                p = e / denom                                # (rep, S)
-                p_new = e_new / denom                        # (rep, 1)
+                    def rot(x2):               # (rows, Dh) f32 -> rope'd
+                        x1, xx2 = x2[:, :d2], x2[:, d2:]
+                        return jnp.concatenate(
+                            [x1 * c - xx2 * s_, xx2 * c + x1 * s_], axis=-1)
 
-                pvv = p * vsc_r[0, 0, hh] if quant else p
-                out = jax.lax.dot_general(
-                    pvv, vc.astype(jnp.float32),
-                    dimension_numbers=DN,
-                    preferred_element_type=jnp.float32) + p_new * vn2
-                # masked read-modify-write of row bi (same alignment rule
-                # as the loads: full-block store with an iota row mask);
-                # per-rep-row to avoid the value reshape
-                mrow = (jax.lax.broadcasted_iota(jnp.int32, (Bp, 1), 0)
-                        == bi)
-                for r in range(rep):
-                    sl_o = pl.ds(qoff + r * Dh, Dh)
-                    attn_s[:, sl_o] = jnp.where(
-                        mrow, jnp.broadcast_to(out[r:r + 1], (Bp, Dh)),
-                        attn_s[:, sl_o])
-                probs_o[0, 0, hh] = jnp.mean(p, axis=0, keepdims=True)
-                kn_o[0, 0, hh] = kn_rot.astype(kn_o.dtype)
-                vn_o[0, 0, hh] = vn2.astype(vn_o.dtype)
-                pnew_o[0, 0, hh] = jnp.broadcast_to(
-                    jnp.mean(p_new, axis=0, keepdims=True), (1, 128))
+                    q2 = qkv_s[b:b + 1, pl.ds(qoff, rep * Dh)].reshape(
+                        rep, Dh)
+                    kn2 = qkv_s[b:b + 1, pl.ds(koff, Dh)]        # (1, Dh)
+                    vn2 = qkv_s[b:b + 1, pl.ds(voff, Dh)]
+                    q_rot = rot(q2)
+                    kn_rot = rot(kn2)
+
+                    kc = k_r[0, b, hh].astype(jnp.float32)       # (S, Dh)
+                    vc = v_r[0, b, hh]
+                    pv = pos_r[0, b, hh]                         # (1, S)
+                    logits = jax.lax.dot_general(
+                        q_rot, kc,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale
+                    if quant:
+                        logits = logits * ksc_r[0, b, hh]
+                    logit_new = jnp.sum(q_rot * kn_rot, axis=-1,
+                                        keepdims=True) * scale   # (rep, 1)
+                    mask = (pv >= 0) & (pv <= qpos)
+                    if sliding_window is not None:
+                        # Mistral sliding window (matches
+                        # ops.attention.attend_inflight semantics)
+                        mask &= pv > qpos - sliding_window
+                    logits = jnp.where(mask, logits, NEG_INF)
+                    logit_new = jnp.where(live, logit_new, NEG_INF)
+                    m = jnp.maximum(jnp.max(logits, axis=-1, keepdims=True),
+                                    logit_new)
+                    e = jnp.where(mask, jnp.exp(logits - m), 0.0)
+                    e_new = jnp.where(live, jnp.exp(logit_new - m), 0.0)
+                    denom = jnp.maximum(
+                        jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
+                    p = e / denom                                # (rep, S)
+                    p_new = e_new / denom                        # (rep, 1)
+
+                    pvv = p * vsc_r[0, b, hh] if quant else p
+                    out = jax.lax.dot_general(
+                        pvv, vc.astype(jnp.float32),
+                        dimension_numbers=DN,
+                        preferred_element_type=jnp.float32) + p_new * vn2
+                    attn_s[b:b + 1, pl.ds(qoff, rep * Dh)] = out.reshape(
+                        1, rep * Dh)
+                    probs_o[0, b, hh] = jnp.mean(p, axis=0, keepdims=True)
+                    kn_o[0, b, hh] = kn_rot.astype(kn_o.dtype)
+                    vn_o[0, b, hh] = vn2.astype(vn_o.dtype)
+                    pnew_o[0, b, hh] = jnp.broadcast_to(
+                        jnp.mean(p_new, axis=0, keepdims=True), (1, 128))
 
         # ---- O phases ---------------------------------------------------
         @pl.when((t >= oO) & (t < oG))
@@ -400,18 +387,10 @@ def fused_decode_step_batch(
                 l, 0, jnp.clip(t - o, 0, c - 1)),
             memory_space=pltpu.VMEM)
 
-    def _abi(t):
-        a = jnp.clip(t - oA, 0, TA - 1)
-        return a // TAh
-
-    def _ahc(t):
-        a = jnp.clip(t - oA, 0, TA - 1)
-        return a % TAh
-
-    def ahead(shape):  # attention (batch, head-block) input block
+    def ahead(shape):  # attention (all-B, head-block) block
         return pl.BlockSpec(
             shape,
-            lambda l, t, qp: (l, _abi(t), _ahc(t))
+            lambda l, t, qp: (l, 0, jnp.clip(t - oA, 0, TA - 1))
             + (0,) * (len(shape) - 3),
             memory_space=pltpu.VMEM)
 
@@ -428,24 +407,24 @@ def fused_decode_step_batch(
         tile3(kho, tno, oO, TO), gtile(2 * go, tno, oO, TO),
         tile3(khq, tng, oG, TG), gtile(2 * gg, tng, oG, TG),
         tile3(khd, tnd, oD, TD), gtile(2 * gd, tnd, oD, TD),
-        ahead((1, 1, hb, S, Dh)),         # k
-        ahead((1, 1, hb, S, Dh)),         # v
-        ahead((1, 1, hb, 1, S)),          # pos (L, B, Hkv, 1, S)
+        ahead((1, B, hb, S, Dh)),         # k
+        ahead((1, B, hb, S, Dh)),         # v
+        ahead((1, B, hb, 1, S)),          # pos (L, B, Hkv, 1, S)
     ]
     inputs = [h0, layers["ln_attn"][:, None, :], layers["ln_mlp"][:, None, :],
               cos, sin,
               wq_p, wq_g, wo_p, wo_g, wg_p, wg_g, wd_p, wd_g,
               k, v, pos[:, :, :, None, :]]
     if quant:
-        in_specs += [ahead((1, 1, hb, 1, S)), ahead((1, 1, hb, 1, S))]
+        in_specs += [ahead((1, B, hb, 1, S)), ahead((1, B, hb, 1, S))]
         inputs += [k_scale[:, :, :, None, :], v_scale[:, :, :, None, :]]
 
     out_specs = [
         const((Bp, D)),                   # h_out
-        ahead((1, 1, hb, 1, Dh)),         # kn
-        ahead((1, 1, hb, 1, Dh)),         # vn
-        ahead((1, 1, hb, 1, S)),          # probs
-        ahead((1, 1, hb, 1, 128)),        # p_new
+        ahead((1, B, hb, 1, Dh)),         # kn
+        ahead((1, B, hb, 1, Dh)),         # vn
+        ahead((1, B, hb, 1, S)),          # probs
+        ahead((1, B, hb, 1, 128)),        # p_new
     ]
     out_shape = [
         jax.ShapeDtypeStruct((Bp, D), dt),

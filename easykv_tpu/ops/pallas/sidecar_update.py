@@ -93,11 +93,60 @@ def _pick_hb(H: int, S: int, n_blocks: int) -> int:
     return hb
 
 
+def _select_victim(pos, score, ssq, counter, next_pos, prompt_len,
+                   rand_rank, *, policy: str, recent_window: int,
+                   feasible_k: int, protect_prompt: bool):
+    """Per-head eviction victim over (H, S) blocks — the selection math of
+    policies.select_evictions for PHASE_DECODE / k=1, shared by
+    _evict_kernel and the write+evict fused kernel. `counter` must already
+    be bumped."""
+    H, S = pos.shape
+    iota = _iota_s((H, S))
+    valid = pos >= 0
+    base = valid
+    if protect_prompt:
+        base = base & (pos >= prompt_len)
+
+    if policy in ("h2o_head", "tova"):
+        cand = base
+        if policy == "h2o_head":
+            cand = cand & (pos < next_pos - recent_window)
+        victim = _first_min_idx(
+            jnp.where(cand, score, jnp.float32(jnp.inf)), S
+        )
+    elif policy == "recency":
+        victim = _first_min_idx(
+            jnp.where(base, pos.astype(jnp.float32), jnp.float32(jnp.inf)), S
+        )
+    elif policy == "random":
+        p_masked = jnp.where(base, pos, INT_MAX)
+        target = _kth_smallest_bits(p_masked, rand_rank + 1)
+        victim = _first_min_idx(jnp.where(p_masked == target, iota, S), S)
+    else:  # roco
+        mean = score / counter
+        var = ssq / counter - mean * mean
+        std = jnp.sqrt(jnp.maximum(var, 0.0))
+        forced = pos >= next_pos - ROCO_STD_GUARD
+        force_val = jnp.float32(F32_FORCE) + pos.astype(jnp.float32) * 1024.0
+        std = jnp.where(forced, force_val, std)
+        std = jnp.where(base, std, jnp.float32(F32_EXCLUDE))
+        # stds are all >= 0, so the raw bit pattern is order-preserving
+        bits = jax.lax.bitcast_convert_type(std, jnp.int32)
+        kth = _kth_smallest_bits(bits, feasible_k)
+        feasible = bits <= kth
+        avg = score / counter
+        victim = _first_min_idx(
+            jnp.where(feasible, avg, jnp.float32(jnp.inf)), S
+        )
+    return victim
+
+
 def _write_kernel(iparams_ref, fparams_ref,
                   pos_ref, score_ref, ssq_ref, counter_ref, probs_ref,
                   pnew_ref,
                   pos_out, score_out, ssq_out, counter_out, slot_out,
-                  *, policy: Optional[str]):
+                  *, policy: Optional[str],
+                  espec: Optional[PolicySpec] = None):
     b = pl.program_id(1)
     pos = pos_ref[0, 0]          # (H, S) int32
     score = score_ref[0, 0]      # (H, S) f32
@@ -148,8 +197,34 @@ def _write_kernel(iparams_ref, fparams_ref,
     counter_out[0, 0] = counter
     slot_out[0, 0] = jnp.broadcast_to(slot, slot_out.shape[2:])
 
+    if espec is not None:
+        # Folded eviction event (engine ordering: forward writes, THEN one
+        # gated eviction — reference easykv.py:302-362): bump + select +
+        # invalidate on the freshly written arrays, all still in VMEM. The
+        # separate fused_evict dispatch re-read every sidecar from HBM
+        # (+0.69 ms/step at 7B B=8, benchmarks/bench_b8.py). The selection
+        # only runs on evicting steps (pl.when on the per-row gate —
+        # replaces the engine-level lax.cond).
+        g_evt = iparams_ref[b, 3] != 0
+        e_next_pos = iparams_ref[b, 4]
+        e_prompt_len = iparams_ref[b, 5]
+        e_rand_rank = iparams_ref[b, 6]
 
-@functools.partial(jax.jit, static_argnames=("policy", "interpret"))
+        @pl.when(g_evt)
+        def _evict():
+            cb = counter + jnp.float32(espec.k)   # bump_counters, gated
+            victim = _select_victim(
+                pos, score, ssq, cb, e_next_pos, e_prompt_len, e_rand_rank,
+                policy=espec.policy, recent_window=espec.recent_window,
+                feasible_k=max(espec.feasible_k, 1),
+                protect_prompt=bool(espec.protect_prompt),
+            )
+            ev = iota == victim
+            pos_out[0, 0] = jnp.where(ev, -1, pos)
+            counter_out[0, 0] = cb
+
+
+@functools.partial(jax.jit, static_argnames=("policy", "espec", "interpret"))
 def fused_write_update(
     pos: jax.Array,        # (L, B, H, S) int32
     score: jax.Array,      # (L, B, H, S) f32
@@ -162,15 +237,24 @@ def fused_write_update(
     update_gate: jax.Array,    # (B,) bool
     counter_init: jax.Array,   # (B,) f32
     policy: Optional[str],
+    espec: Optional[PolicySpec] = None,   # fold the (gated) eviction event
+    evict_gate: Optional[jax.Array] = None,   # (B,) bool
+    next_pos: Optional[jax.Array] = None,     # (B,) int32
+    prompt_len: Optional[jax.Array] = None,   # (B,) int32
+    rand_rank: Optional[jax.Array] = None,    # (B,) int32
     interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (pos, score, score_sq, counter, write_slot (L, B, H, 1))."""
+    """Returns (pos, score, score_sq, counter, write_slot (L, B, H, 1)).
+    With espec, pos/counter are POST-eviction (the engine then skips its
+    separate evict_cache dispatch — see _write_kernel's folded-evict note)."""
     L, B, H, S = pos.shape
     assert S % 128 == 0, "ring buffer must be lane-aligned (engine rounds up)"
-    iparams = jnp.stack(
-        [q_pos, token_valid.astype(jnp.int32), update_gate.astype(jnp.int32)],
-        axis=-1,
-    )
+    icols = [q_pos, token_valid.astype(jnp.int32),
+             update_gate.astype(jnp.int32)]
+    if espec is not None:
+        icols += [evict_gate.astype(jnp.int32), next_pos, prompt_len,
+                  rand_rank]
+    iparams = jnp.stack(icols, axis=-1)
     fparams = counter_init[:, None].astype(jnp.float32)
 
     hb = _pick_hb(H, S, 9)
@@ -186,7 +270,7 @@ def fused_write_update(
         out_specs=[spec4((1, 1, hb, S))] * 4 + [spec4((1, 1, hb, 1))],
     )
     return pl.pallas_call(
-        functools.partial(_write_kernel, policy=policy),
+        functools.partial(_write_kernel, policy=policy, espec=espec),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((L, B, H, S), jnp.int32),
@@ -247,46 +331,11 @@ def _evict_kernel(iparams_ref,
     # bump (policies.bump_counters, gated per batch row)
     counter = counter + jnp.float32(k_evict) * g_evt.astype(jnp.float32)
 
-    valid = pos >= 0
-    base = valid
-    if protect_prompt:
-        base = base & (pos >= prompt_len)
-
-    if policy in ("h2o_head", "tova"):
-        cand = base
-        if policy == "h2o_head":
-            cand = cand & (pos < next_pos - recent_window)
-        victim = _first_min_idx(
-            jnp.where(cand, score, jnp.float32(jnp.inf)), S
-        )
-    elif policy == "recency":
-        victim = _first_min_idx(
-            jnp.where(base, pos.astype(jnp.float32), jnp.float32(jnp.inf)), S
-        )
-    elif policy == "random":
-        # slot whose age rank == rand_rank among candidates: the exact
-        # (rand_rank+1)-th smallest position (unique, >= 0) — the
-        # _slots_at_ranks semantics
-        p_masked = jnp.where(base, pos, INT_MAX)
-        target = _kth_smallest_bits(p_masked, rand_rank + 1)
-        victim = _first_min_idx(jnp.where(p_masked == target, iota, S), S)
-    else:  # roco
-        mean = score / counter
-        var = ssq / counter - mean * mean
-        std = jnp.sqrt(jnp.maximum(var, 0.0))
-        forced = pos >= next_pos - ROCO_STD_GUARD
-        force_val = jnp.float32(F32_FORCE) + pos.astype(jnp.float32) * 1024.0
-        std = jnp.where(forced, force_val, std)
-        std = jnp.where(base, std, jnp.float32(F32_EXCLUDE))
-        # stds are all >= 0, so the raw bit pattern is order-preserving
-        bits = jax.lax.bitcast_convert_type(std, jnp.int32)
-        kth = _kth_smallest_bits(bits, feasible_k)
-        feasible = bits <= kth
-        avg = score / counter
-        victim = _first_min_idx(
-            jnp.where(feasible, avg, jnp.float32(jnp.inf)), S
-        )
-
+    victim = _select_victim(
+        pos, score, ssq, counter, next_pos, prompt_len, rand_rank,
+        policy=policy, recent_window=recent_window, feasible_k=feasible_k,
+        protect_prompt=protect_prompt,
+    )
     ev = (iota == victim) & g_evt
     pos_out[0, 0] = jnp.where(ev, -1, pos)
     counter_out[0, 0] = counter

@@ -380,3 +380,82 @@ def test_fused_compact_matches_xla(quant):
             continue
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a),
                                       err_msg=name)
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_prerotated_matches_rank_rotation(kv_quant):
+    """Pre-rotated ordered streaming (flags.prerot, default on — K stored
+    rank-rotated, attention rotation-free, R(-theta) applied on each
+    compaction shift) vs the r4 rotate-at-read ordered path: identical
+    greedy trajectories over a budgeted streaming decode with evictions
+    every step, in both f32 and int8-KV caches."""
+    from easykv_tpu import CausalLM, flags, generate
+
+    cfg = ModelConfig(
+        vocab_size=96, hidden_size=64, intermediate_size=112,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(29)
+    ids = rng.integers(1, 90, size=(21,))
+    gc = {"budget": 8, "kv_policy": "roco", "max_new_tokens": 16,
+          "temperature": 1e-9, "top_p": 1.0, "streaming": True,
+          "eos_token_ids": [], "seed": 5}
+    kw = {"kv_quant": kv_quant} if kv_quant else {}
+    flags.use_prerot(False)
+    try:
+        ref = generate(CausalLM(cfg, params, **kw), ids, dict(gc),
+                       kv_mode="decoding", stride=1)
+    finally:
+        flags.use_prerot(None)
+    got = generate(CausalLM(cfg, params, **kw), ids, dict(gc),
+                   kv_mode="decoding", stride=1)
+    assert got == ref, (got, ref)
+
+
+def test_prerotated_unit_semantics():
+    """Direct check of the pre-rotated storage invariant: after
+    _prerotate_cache + N compaction shifts, slot s holds R(s)·base — i.e.
+    the composed R(-1) updates land each surviving row exactly where the
+    rotate-at-read path would put it."""
+    from easykv_tpu.cache import init_cache
+    from easykv_tpu.engine.generate import _compact_one, _prerotate_cache
+    from easykv_tpu.ops.rope import apply_rope, rope_base_for, rope_inv_freq
+
+    cfg = ModelConfig(
+        vocab_size=16, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
+    rng = np.random.default_rng(3)
+    S, D = 16, cfg.head_dim
+    base = rng.standard_normal((1, 1, 2, S, D)).astype(np.float32)
+    pos = np.full((1, 1, 2, S), -1, np.int32)
+    pos[..., :10] = np.arange(10)
+    cache = init_cache(1, 1, 2, S, D, dtype=jnp.float32)
+    cache = cache._replace(k=jnp.asarray(base), pos=jnp.asarray(pos))
+    cache = _prerotate_cache(cache, cfg)
+    # slot s now holds R(s)·base[s]
+    want = np.asarray(apply_rope(jnp.asarray(base),
+                                 jnp.arange(S, dtype=jnp.int32), inv_freq))
+    np.testing.assert_allclose(np.asarray(cache.k), want, atol=1e-5)
+    # evict slot 3 of head 0: slots 4..9 shift to 3..8 and must now hold
+    # R(slot_new)·base[old]
+    pos_mid = pos.copy()
+    pos_post = pos.copy()
+    pos_post[0, 0, 0, 3] = -1
+    cache = cache._replace(pos=jnp.asarray(pos_post))
+    out = _compact_one(cache, jnp.asarray(pos_mid), rot_inv_freq=inv_freq)
+    got = np.asarray(out.k)[0, 0, 0]
+    for new_slot, old_slot in [(0, 0), (1, 1), (2, 2), (3, 4), (4, 5),
+                               (8, 9)]:
+        want_row = np.asarray(apply_rope(
+            jnp.asarray(base[0, 0, 0, old_slot][None]),
+            jnp.asarray([new_slot], jnp.int32), inv_freq))[0]
+        np.testing.assert_allclose(got[new_slot], want_row, atol=1e-5,
+                                   err_msg=f"slot {new_slot}")
+    # untouched head 1 keeps its pre-rotated values
+    np.testing.assert_allclose(np.asarray(out.k)[0, 0, 1], want[0, 0, 1],
+                               atol=1e-6)
