@@ -976,9 +976,29 @@ def _decode_forward(
                 ekw = dict(espec=spec, evict_gate=ctx.evict_gate,
                            next_pos=ctx.next_pos, prompt_len=ctx.prompt_len,
                            rand_rank=ctx.rand_rank)
-            pos, score, ssq, counter, ids_all = fused_write_update(
+            quant_kv = cache.k.dtype == jnp.int8
+            if quant_kv:
+                # quantize once here: the kernel writes the scale rows
+                # (vectorized — each was an (L*B*H)-row scalar scatter),
+                # the int8 rows scatter below
+                k_w, k_sc = quantize_kv(kn)
+                v_w, v_sc = quantize_kv(vn)
+                ekw.update(k_sc_new=k_sc, v_sc_new=v_sc,
+                           k_scale=cache.k_scale, v_scale=cache.v_scale)
+            res = fused_write_update(
                 *sc_args, policy=policy, interpret=interp, **ekw,
             )
+            pos, score, ssq, counter, ids_all = res[:5]
+            if quant_kv:
+                l_ix = jnp.arange(L)[:, None, None, None]
+                b_ix = jnp.arange(B)[None, :, None, None]
+                h_ix = jnp.arange(Hkv)[None, None, :, None]
+                return _logits_tail(h, params, cfg), cache._replace(
+                    pos=pos, score=score, score_sq=ssq, counter=counter,
+                    k_scale=res[5], v_scale=res[6],
+                    k=cache.k.at[l_ix, b_ix, h_ix, ids_all].set(k_w),
+                    v=cache.v.at[l_ix, b_ix, h_ix, ids_all].set(v_w),
+                )
         new_cache = cache._replace(
             pos=pos, score=score, score_sq=ssq, counter=counter,
         )

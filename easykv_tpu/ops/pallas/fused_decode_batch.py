@@ -150,6 +150,9 @@ def fused_decode_step_batch(
            * inv_freq[None, :])                                # (B, Dh/2)
     cos = jnp.cos(ang)
     sin = jnp.sin(ang)
+    if Bp != B:   # padded rows: angle irrelevant (their activations are 0)
+        cos = jnp.pad(cos, [(0, Bp - B), (0, 0)])
+        sin = jnp.pad(sin, [(0, Bp - B), (0, 0)])
 
     def kernel(qp_ref, x0, lna, lnm, cos_r, sin_r,
                qp_p, qp_g, op_p, op_g, gp_p, gp_g, dp_p, dp_g,
@@ -264,6 +267,85 @@ def fused_decode_step_batch(
                 return
             ai = t - oA
             d2 = Dh // 2
+
+            if rep == 1:
+                # MHA fast path (7B/13B-class): every per-row op vectorizes
+                # over the batch dim — one RoPE pair, one masked softmax,
+                # one store per head instead of B of each; only the two
+                # cache dots stay per-row (each row attends its own cache).
+                qpos_v = jnp.concatenate(
+                    [jnp.full((1, 1), qp_ref[b], jnp.int32)
+                     for b in range(B)], axis=0)             # (B, 1)
+                live_v = qpos_v >= 0
+                cB = cos_r[:]                                # (Bp, Dh/2)
+                sB = sin_r[:]
+
+                def rotv(x2):              # (Bp, Dh) f32 -> rope'd
+                    x1, xx2 = x2[:, :d2], x2[:, d2:]
+                    return jnp.concatenate(
+                        [x1 * cB - xx2 * sB, xx2 * cB + x1 * sB], axis=-1)
+
+                for hh in range(hb):
+                    head = ai * hb + hh
+                    qoff = head * Dh
+                    koff = Hq * Dh + head * Dh
+                    voff = (Hq + Hkv) * Dh + head * Dh
+                    q_rot = rotv(qkv_s[:, pl.ds(qoff, Dh)])   # (Bp, Dh)
+                    kn_rot = rotv(qkv_s[:, pl.ds(koff, Dh)])
+                    vn_all = qkv_s[:, pl.ds(voff, Dh)]
+                    logit_new = jnp.sum(
+                        q_rot[:B] * kn_rot[:B], axis=-1,
+                        keepdims=True) * scale               # (B, 1)
+                    lg = jnp.concatenate([
+                        jax.lax.dot_general(
+                            q_rot[b:b + 1],
+                            k_r[0, b, hh].astype(jnp.float32),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                        for b in range(B)], axis=0) * scale  # (B, S)
+                    # per-b (all-ints) ref reads: a (int, slice, int) index
+                    # mix lowers to an unsupported >2D Mosaic gather
+                    if quant:
+                        lg = lg * jnp.concatenate(
+                            [ksc_r[0, b, hh] for b in range(B)], axis=0)
+                    pv = jnp.concatenate(
+                        [pos_r[0, b, hh] for b in range(B)], axis=0)
+                    mask = (pv >= 0) & (pv <= qpos_v)
+                    if sliding_window is not None:
+                        mask &= pv > qpos_v - sliding_window
+                    lg = jnp.where(mask, lg, NEG_INF)
+                    logit_new = jnp.where(live_v, logit_new, NEG_INF)
+                    m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True),
+                                    logit_new)
+                    e = jnp.where(mask, jnp.exp(lg - m), 0.0)
+                    e_new = jnp.where(live_v, jnp.exp(logit_new - m), 0.0)
+                    denom = jnp.maximum(
+                        jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
+                    p = e / denom                            # (B, S)
+                    p_new = e_new / denom                    # (B, 1)
+                    pvv = p * jnp.concatenate(
+                        [vsc_r[0, b, hh] for b in range(B)],
+                        axis=0) if quant else p
+                    out = jnp.concatenate([
+                        jax.lax.dot_general(
+                            pvv[b:b + 1],
+                            v_r[0, b, hh].astype(jnp.float32),
+                            dimension_numbers=DN,
+                            preferred_element_type=jnp.float32)
+                        for b in range(B)], axis=0)          # (B, Dh)
+                    out = out + p_new * vn_all[:B]
+                    if Bp != B:
+                        out = jnp.concatenate(
+                            [out, jnp.zeros((Bp - B, Dh), jnp.float32)],
+                            axis=0)
+                    attn_s[:, pl.ds(qoff, Dh)] = out
+                    for b in range(B):       # all-ints stores (see above)
+                        probs_o[0, b, hh] = p[b:b + 1]
+                        kn_o[0, b, hh] = kn_rot[b:b + 1].astype(kn_o.dtype)
+                        vn_o[0, b, hh] = vn_all[b:b + 1].astype(vn_o.dtype)
+                        pnew_o[0, b, hh] = jnp.broadcast_to(
+                            p_new[b:b + 1], (1, 128))
+                return
 
             for hh in range(hb):
                 head = ai * hb + hh          # traced; lane offsets below
@@ -401,8 +483,8 @@ def fused_decode_step_batch(
         const((Bp, D)),                   # x0
         c2((1, 1, D)),                    # ln_attn
         c2((1, 1, D)),                    # ln_mlp
-        const((B, Dh // 2)),              # cos
-        const((B, Dh // 2)),              # sin
+        const((Bp, Dh // 2)),             # cos
+        const((Bp, Dh // 2)),             # sin
         tile3(khq, tnq, oQ, TQ), gtile(2 * gq, tnq, oQ, TQ),
         tile3(kho, tno, oO, TO), gtile(2 * go, tno, oO, TO),
         tile3(khq, tng, oG, TG), gtile(2 * gg, tng, oG, TG),

@@ -143,10 +143,16 @@ def _select_victim(pos, score, ssq, counter, next_pos, prompt_len,
 
 def _write_kernel(iparams_ref, fparams_ref,
                   pos_ref, score_ref, ssq_ref, counter_ref, probs_ref,
-                  pnew_ref,
-                  pos_out, score_out, ssq_out, counter_out, slot_out,
-                  *, policy: Optional[str],
-                  espec: Optional[PolicySpec] = None):
+                  pnew_ref, *rest,
+                  policy: Optional[str],
+                  espec: Optional[PolicySpec] = None,
+                  with_scales: bool = False):
+    if with_scales:
+        (ksn_ref, vsn_ref, ksc_ref, vsc_ref,
+         pos_out, score_out, ssq_out, counter_out, slot_out,
+         ksc_out, vsc_out) = rest
+    else:
+        pos_out, score_out, ssq_out, counter_out, slot_out = rest
     b = pl.program_id(1)
     pos = pos_ref[0, 0]          # (H, S) int32
     score = score_ref[0, 0]      # (H, S) f32
@@ -197,6 +203,16 @@ def _write_kernel(iparams_ref, fparams_ref,
     counter_out[0, 0] = counter
     slot_out[0, 0] = jnp.broadcast_to(slot, slot_out.shape[2:])
 
+    if with_scales:
+        # int8-KV dequant-scale row write folded in (vectorized masked
+        # update of data already streaming through this kernel) — each
+        # scale was a (L*B*H)-row XLA scalar scatter before (~half the
+        # 1.95 ms/step _write_kv_rows cost at 7B B=8, bench_b8.py).
+        # Unconditional like _write_kv_rows: dead rows' slots stay
+        # pos-invalid, so their bytes are inert.
+        ksc_out[0, 0] = jnp.where(iota == slot, ksn_ref[0, 0], ksc_ref[0, 0])
+        vsc_out[0, 0] = jnp.where(iota == slot, vsn_ref[0, 0], vsc_ref[0, 0])
+
     if espec is not None:
         # Folded eviction event (engine ordering: forward writes, THEN one
         # gated eviction — reference easykv.py:302-362): bump + select +
@@ -242,13 +258,19 @@ def fused_write_update(
     next_pos: Optional[jax.Array] = None,     # (B,) int32
     prompt_len: Optional[jax.Array] = None,   # (B,) int32
     rand_rank: Optional[jax.Array] = None,    # (B,) int32
+    k_sc_new: Optional[jax.Array] = None,     # (L, B, H, 1) f32 new-row K
+    v_sc_new: Optional[jax.Array] = None,     # dequant scales (int8 KV)
+    k_scale: Optional[jax.Array] = None,      # (L, B, H, S) f32
+    v_scale: Optional[jax.Array] = None,
     interpret: bool = False,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Returns (pos, score, score_sq, counter, write_slot (L, B, H, 1)).
+):
+    """Returns (pos, score, score_sq, counter, write_slot (L, B, H, 1)
+    [, k_scale, v_scale when k_sc_new is given]).
     With espec, pos/counter are POST-eviction (the engine then skips its
     separate evict_cache dispatch — see _write_kernel's folded-evict note)."""
     L, B, H, S = pos.shape
     assert S % 128 == 0, "ring buffer must be lane-aligned (engine rounds up)"
+    with_scales = k_sc_new is not None
     icols = [q_pos, token_valid.astype(jnp.int32),
              update_gate.astype(jnp.int32)]
     if espec is not None:
@@ -257,30 +279,46 @@ def fused_write_update(
     iparams = jnp.stack(icols, axis=-1)
     fparams = counter_init[:, None].astype(jnp.float32)
 
-    hb = _pick_hb(H, S, 9)
+    hb = _pick_hb(H, S, 13 if with_scales else 9)
 
     def spec4(shape):
         return pl.BlockSpec(shape, lambda l, b, h, ip, fp: (l, b, h, 0),
                             memory_space=pltpu.VMEM)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(L, B, H // hb),
-        in_specs=[spec4((1, 1, hb, S))] * 5 + [spec4((1, 1, hb, 1))],
-        out_specs=[spec4((1, 1, hb, S))] * 4 + [spec4((1, 1, hb, 1))],
-    )
+    sS = spec4((1, 1, hb, S))
+    s1 = spec4((1, 1, hb, 1))
+    in_specs = [sS] * 5 + [s1]
+    out_specs = [sS] * 4 + [s1]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, B, H, S), jnp.int32),
+        jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
+        jax.ShapeDtypeStruct((L, B, H, 1), jnp.int32),
+    ]
+    # in-place: pos/score/ssq/counter donate onto their outputs (alias
+    # indices count the 2 scalar-prefetch args first)
+    aliases = {2: 0, 3: 1, 4: 2, 5: 3}
+    inputs = [iparams, fparams, pos, score, score_sq, counter, probs, p_new]
+    if with_scales:
+        in_specs += [s1, s1, sS, sS]
+        out_specs += [sS, sS]
+        out_shape += [jax.ShapeDtypeStruct((L, B, H, S), jnp.float32)] * 2
+        aliases.update({10: 5, 11: 6})
+        inputs += [k_sc_new, v_sc_new, k_scale, v_scale]
     return pl.pallas_call(
-        functools.partial(_write_kernel, policy=policy, espec=espec),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((L, B, H, S), jnp.int32),
-            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, H, 1), jnp.int32),
-        ],
+        functools.partial(_write_kernel, policy=policy, espec=espec,
+                          with_scales=with_scales),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(L, B, H // hb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(iparams, fparams, pos, score, score_sq, counter, probs, p_new)
+    )(*inputs)
 
 
 def fused_write_update_sharded(
@@ -389,6 +427,8 @@ def fused_evict(
             jax.ShapeDtypeStruct((L, B, H, S), jnp.int32),
             jax.ShapeDtypeStruct((L, B, H, S), jnp.float32),
         ],
+        # pos/counter in-place (alias indices count the prefetch arg first)
+        input_output_aliases={1: 0, 4: 1},
         interpret=interpret,
     )(iparams, pos, score, score_sq, counter)
 

@@ -150,3 +150,62 @@ def test_mega_batch_cg_chunking(monkeypatch):
         flags.use_pallas(None)
     np.testing.assert_allclose(
         np.asarray(got_logits), np.asarray(ref_logits), atol=1e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_mega_batch_mha_fast_path(kv_quant, monkeypatch):
+    # rep == 1 (MHA) rides the vectorized all-B attention epilogue — the
+    # 7B/13B serving shape class; parity vs the scan incl. a dead row and
+    # Bp padding (B=3 -> Bp=8)
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(2))
+    qp = quantize_params_int4(params, group_size=16, layout="arith")
+    qp = fuse_gemv_params(qp)
+    qp = materialize_params(qp)
+    cache = init_cache(cfg.num_hidden_layers, B, 4, 32, cfg.head_dim,
+                       dtype=jnp.float32, quantized=kv_quant)
+    T = 8
+    ids = jnp.asarray(
+        np.random.default_rng(4).integers(1, 60, (B, T)), jnp.int32)
+    ctx = StepCtx(
+        q_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T)),
+        token_valid=jnp.ones((B, T), bool),
+        counter_init=jnp.zeros((B, T), jnp.float32),
+        next_pos=jnp.full((B,), T, jnp.int32),
+        prompt_len=jnp.full((B,), T, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(False),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    _, cache = forward(qp, cfg, cache, ids, ctx, None)
+    tok = jnp.asarray([[7], [11], [3]], jnp.int32)
+    dctx = StepCtx(
+        q_pos=jnp.asarray([[8], [8], [-1]], jnp.int32),  # row 2 dead
+        token_valid=jnp.asarray([[True], [True], [False]]),
+        counter_init=jnp.zeros((B, 1), jnp.float32),
+        next_pos=jnp.asarray([9, 9, 8], jnp.int32),
+        prompt_len=jnp.full((B,), 8, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(True),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    spec = PolicySpec(policy="roco", phase=PHASE_DECODE, k=1,
+                      sink_length=4, recent_window=2, feasible_k=4)
+    flags.use_pallas(True)
+    try:
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+        ref_logits, ref_cache = forward(qp, cfg, cache, tok, dctx, spec)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+        got_logits, got_cache = forward(qp, cfg, cache, tok, dctx, spec)
+    finally:
+        flags.use_pallas(None)
+    tol = dict(atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_logits)[:2], np.asarray(ref_logits)[:2], **tol)
+    for name, a, b in zip(ref_cache._fields, ref_cache, got_cache):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), err_msg=name, **tol)
