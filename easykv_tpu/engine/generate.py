@@ -817,7 +817,7 @@ def _decode_loop(
             params, st.cfg, cache, token[:, None], ctx, spec,
             streaming=st.streaming,
             ranks_all=ranks if inc_ranks else None,
-            ordered=ordered, prerotated=prerot,
+            ordered=ordered, prerotated=prerot, fold_evict=fold_evict,
         )
         if inc_ranks:
             # new token's slot gets rank = pre-write valid count (uniform

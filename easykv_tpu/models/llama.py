@@ -272,6 +272,12 @@ def forward(
     prerotated: bool = False,    # ordered cache stores K already rotated by
                                  # its slot index (flags.prerot_enabled):
                                  # attention reads K with no rotation at all
+    fold_evict: bool = False,    # OPT-IN: apply the step's gated eviction
+                                 # inside the fused sidecar pass (caller
+                                 # must then skip evict_cache; the engine
+                                 # decides via decode_evict_folded). Default
+                                 # off so forward+evict_cache callers keep
+                                 # two-phase semantics.
 ) -> Tuple[jax.Array, KVCache]:
     """One chunk through all layers. Returns (logits (B, C, V) f32, new cache)."""
     B, C = token_ids.shape
@@ -287,7 +293,8 @@ def forward(
         # into one batched rank computation (VERDICT r2 next #5).
         return _decode_forward(params, cfg, cache, token_ids, ctx, spec,
                                streaming=streaming, ranks_all=ranks_all,
-                               ordered=ordered, prerotated=prerotated)
+                               ordered=ordered, prerotated=prerotated,
+                               fold_evict=fold_evict)
     Hq, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     inv_freq = rope_inv_freq(cfg.head_dim, rope_base_for(cfg))
     scale = cfg.head_dim ** -0.5
@@ -756,6 +763,7 @@ def _decode_forward(
     ranks_all: Optional[jax.Array] = None,   # (L, B, Hkv, S) precomputed
     ordered: bool = False,
     prerotated: bool = False,
+    fold_evict: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """Single-token decode with late cache write.
 
@@ -967,8 +975,15 @@ def _decode_forward(
                 *sc_args, mesh=mesh_info[0], data_axis=mesh_info[1],
                 model_axis=mesh_info[2], policy=policy, interpret=interp,
             )
+            new_cache = cache._replace(
+                pos=pos, score=score, score_sq=ssq, counter=counter,
+            )
+            new_cache = _write_kv_rows(new_cache, ids_all, kn, vn, tv)
         else:
-            fold = decode_evict_folded(cfg, cache, B, spec, streaming)
+            from ..ops.pallas.row_write import write_rows
+
+            fold = fold_evict and decode_evict_folded(cfg, cache, B, spec,
+                                                      streaming)
             ekw = {}
             if fold:
                 # the step's gated eviction event folds into the same VMEM
@@ -978,31 +993,27 @@ def _decode_forward(
                            rand_rank=ctx.rand_rank)
             quant_kv = cache.k.dtype == jnp.int8
             if quant_kv:
-                # quantize once here: the kernel writes the scale rows
-                # (vectorized — each was an (L*B*H)-row scalar scatter),
-                # the int8 rows scatter below
+                # quantize once here: the sidecar kernel writes the scale
+                # rows (vectorized — each was an (L*B*H)-row scalar
+                # scatter), write_rows DMA-scatters the int8 rows
                 k_w, k_sc = quantize_kv(kn)
                 v_w, v_sc = quantize_kv(vn)
                 ekw.update(k_sc_new=k_sc, v_sc_new=v_sc,
                            k_scale=cache.k_scale, v_scale=cache.v_scale)
+            else:
+                k_w = kn.astype(cache.k.dtype)
+                v_w = vn.astype(cache.v.dtype)
             res = fused_write_update(
                 *sc_args, policy=policy, interpret=interp, **ekw,
             )
             pos, score, ssq, counter, ids_all = res[:5]
+            k2, v2 = write_rows(cache.k, cache.v, k_w, v_w,
+                                ids_all[..., 0], interpret=interp)
+            repl = dict(pos=pos, score=score, score_sq=ssq, counter=counter,
+                        k=k2, v=v2)
             if quant_kv:
-                l_ix = jnp.arange(L)[:, None, None, None]
-                b_ix = jnp.arange(B)[None, :, None, None]
-                h_ix = jnp.arange(Hkv)[None, None, :, None]
-                return _logits_tail(h, params, cfg), cache._replace(
-                    pos=pos, score=score, score_sq=ssq, counter=counter,
-                    k_scale=res[5], v_scale=res[6],
-                    k=cache.k.at[l_ix, b_ix, h_ix, ids_all].set(k_w),
-                    v=cache.v.at[l_ix, b_ix, h_ix, ids_all].set(v_w),
-                )
-        new_cache = cache._replace(
-            pos=pos, score=score, score_sq=ssq, counter=counter,
-        )
-        new_cache = _write_kv_rows(new_cache, ids_all, kn, vn, tv)
+                repl.update(k_scale=res[5], v_scale=res[6])
+            new_cache = cache._replace(**repl)
     else:
         new_cache = _decode_write(cache, ids_all, kn, vn, probs, p_new, ctx,
                                   spec)

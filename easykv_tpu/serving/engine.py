@@ -92,8 +92,11 @@ def _decode_step(cfg: ModelConfig, spec: Optional[PolicySpec], budget: int,
         update_gate=active,
         rand_rank=rand_rank,
     )
-    logits, cache = llama.forward(params, cfg, cache, tokens[:, None], ctx, spec)
-    if spec is not None:
+    fold = llama.decode_evict_folded(cfg, cache, tokens.shape[0], spec,
+                                     False)
+    logits, cache = llama.forward(params, cfg, cache, tokens[:, None], ctx,
+                                  spec, fold_evict=fold)
+    if spec is not None and not fold:
         from ..policies import evict_cache
 
         cache = evict_cache(cache, spec, ctx.next_pos, prompt_len, rand_rank, gate_b)
