@@ -805,11 +805,13 @@ def _decode_forward(
         and isinstance(lyr.get("wgu"), dict) and "q4a" in lyr["wgu"]
     )
     use_mega = mega_tree and B == 1
-    # B cap: at Bp=16 the batched kernel's LHS + activation scratch tips
-    # the 16M scoped-vmem limit at 7B shapes (a compile-time error, not a
-    # fallback) — wider batches ride the per-layer scan until the kernel
-    # grows a B-tiled variant
-    use_mega_b = (mega_tree and 1 < B <= 8 and flags.mega_batch_enabled())
+    # MHA (rep == 1, the 7B/13B serving shapes) batches to 16 — the kernel
+    # S-tiles its attention blocks and shrinks CG/weight tiles to fit
+    # scoped VMEM at Bp=16; GQA models stay <= 8 (the per-b rep>1 path has
+    # no flash tiling)
+    bmax = 16 if Hq == Hkv else 8
+    use_mega_b = (mega_tree and 1 < B <= bmax
+                  and flags.mega_batch_enabled())
 
     if streaming:
         # Batched cache-relative geometry for ALL layers: one argsort for

@@ -49,12 +49,13 @@ NEG_INF = -1e30
 DN = (((1,), (0,)), ((), ()))
 
 
-def _pick_tn(Kh: int, N: int) -> int:
+def _pick_tn(Kh: int, N: int, budget: int = (3 << 20) // 2) -> int:
     # ~1 MB carrier tiles: double-buffered across 4 weight inputs they are
     # the bulk of the kernel's VMEM (16 MB/core); larger tiles OOM the
-    # scoped allocation at full-cache S.
+    # scoped allocation at full-cache S. The batched kernel passes a
+    # smaller budget at Bp=16 (wider activation/LHS scratch).
     for tn in (512, 256, 128):
-        if N % tn == 0 and Kh * tn <= (3 << 20) // 2:
+        if N % tn == 0 and Kh * tn <= budget:
             return tn
     return N  # tiny test models: whole width
 

@@ -54,17 +54,19 @@ NEG_INF = -1e30
 DN = (((1,), (0,)), ((), ()))
 
 
-def _cg_default() -> int:
-    """Groups per LHS chunk. Even (keeps bf16 scratch offsets 16-aligned at
-    Bp=8) and the knob for the MXU-rows vs MACs trade: MACs scale linearly
-    with CG, rows per dot = CG*Bp. Default 4: at Bp=8 the dots are 32-row
-    and per-tile MXU time sits under the HBM tile fetch (CG=8 was ~1.4x
-    over it AND its LHS scratch tipped the kernel 664K over the 16M scoped
-    vmem limit at 7B). EASYKV_TPU_MEGAB_CG for A/Bs."""
+def _cg_default(Bp: int) -> int:
+    """Groups per LHS chunk. Even (keeps bf16 scratch offsets 16-aligned)
+    and the knob for the MXU-rows vs MACs trade: MACs scale linearly with
+    CG, rows per dot = CG*Bp. Default keeps the dots 32-row (CG=4 at Bp=8,
+    CG=2 at Bp=16 — the MXU time sits under the HBM tile fetch either way;
+    CG=8 at Bp=8 was ~1.4x over it AND its LHS scratch tipped the kernel
+    664K over the 16M scoped vmem limit at 7B). EASYKV_TPU_MEGAB_CG for
+    A/Bs."""
+    default = 4 if Bp <= 8 else 2
     try:
-        cg = int(os.environ.get("EASYKV_TPU_MEGAB_CG", "4"))
+        cg = int(os.environ.get("EASYKV_TPU_MEGAB_CG", str(default)))
     except ValueError:
-        cg = 4
+        cg = default
     return max(2, (cg // 2) * 2)
 
 
@@ -101,7 +103,7 @@ def fused_decode_step_batch(
     Bp = ((B + 7) // 8) * 8
     if Bp != B:
         h0 = jnp.pad(h0, [(0, Bp - B), (0, 0)])
-    CG = _cg_default()
+    CG = _cg_default(Bp)
 
     wq_p, wq_g = layers["wqkv"]["q4a"], layers["wqkv"]["gs3"]
     wo_p, wo_g = layers["wo"]["q4a"], layers["wo"]["gs3"]
@@ -111,18 +113,44 @@ def fused_decode_step_batch(
     gq, go, gg, gd = (t.shape[1] // 2 for t in (wq_g, wo_g, wg_g, wd_g))
     khq, kho, khd = D // 2, (Hq * Dh) // 2, F // 2
 
-    tnq, tno = _pick_tn(khq, Nq), _pick_tn(kho, D)
-    tng, tnd = _pick_tn(khq, 2 * F), _pick_tn(khd, D)
+    # Bp=16 halves the weight-tile budget: the wider activation/LHS scratch
+    # plus the larger attention blocks would otherwise overflow scoped VMEM
+    tn_budget = (3 << 20) // 2 if Bp <= 8 else (2 << 20) // 2
+    tnq, tno = _pick_tn(khq, Nq, tn_budget), _pick_tn(kho, D, tn_budget)
+    tng = _pick_tn(khq, 2 * F, tn_budget)
+    tnd = _pick_tn(khd, D, tn_budget)
     TQ, TO, TG, TD = Nq // tnq, D // tno, 2 * F // tng, D // tnd
     # ONE attention phase per head block covering ALL B rows (r5): the r4
     # per-(batch, head-block) schedule ran B*(Hkv/hb) = 128 programs/layer
     # at B=8 and cost 2.4 ms/step in program dispatch + masked-pick VPU
-    # work (bench_b8.py decomposition). Blocks are (1, B, hb, S, Dh); the
+    # work (bench_b8.py decomposition). Blocks are (1, B, hb, St, Dh); the
     # batch index is a PYTHON loop constant in-kernel, so every row access
     # is a static (relayout-able) slice — no iota-mask picks, no masked
-    # read-modify-write stores.
+    # read-modify-write stores. When B*S*Dh exceeds the VMEM budget
+    # (B=16 at 7B S=768) the K/V blocks tile over S (NT flash tiles per
+    # head, rep==1 only) with running max/denom/acc carried in scratch.
     hb = _pick_hb(Hkv, S, Dh, B * k.dtype.itemsize, budget=1 << 20)
-    TA = TAh = Hkv // hb
+    NT = 1
+    if rep == 1:
+        nlanes = S // 128
+        for cand in range(1, nlanes + 1):
+            if nlanes % cand:
+                continue
+            if B * hb * (S // cand) * Dh * k.dtype.itemsize <= 1 << 20:
+                NT = cand
+                break
+        nt_env = os.environ.get("EASYKV_TPU_MEGAB_NT")  # test/A-B override
+        if nt_env:
+            nt = int(nt_env)
+            if nlanes == 0 or nlanes % nt == 0:
+                NT = nt
+                hb = 1
+    if NT > 1:
+        hb = 1
+    St = S // NT
+    assert NT == 1 or hb == 1, "S-tiling implies hb == 1"
+    TAh = Hkv // hb
+    TA = TAh * NT
     NP = TQ + TA + TO + TG + TD
     oQ, oA, oO, oG, oD = 0, TQ, TQ + TA, TQ + TA + TO, TQ + TA + TO + TG
 
@@ -162,7 +190,7 @@ def fused_decode_step_batch(
             rest = rest[2:]
         h_out, kn_o, vn_o, probs_o, pnew_o = rest[:5]
         (h_s, xln_s, lhsA, lhsBC, qkv_s, attn_s, gu_s, swig_s,
-         xh_s) = rest[5:]
+         xh_s, lgs_s, fm_s, fd_s, facc_s) = rest[5:]
         l = pl.program_id(0)
         t = pl.program_id(1)
 
@@ -273,6 +301,15 @@ def fused_decode_step_batch(
                 # over the batch dim — one RoPE pair, one masked softmax,
                 # one store per head instead of B of each; only the two
                 # cache dots stay per-row (each row attends its own cache).
+                # Runs as NT flash tiles over S (NT == 1 collapses to the
+                # single-pass math): running max/denom/acc in scratch,
+                # masked logits accumulated in lg_s for the final probs
+                # emission (the sidecar scores need the full row).
+                if NT > 1:
+                    hc = ai // NT
+                    jt = ai - hc * NT                   # S-tile index
+                else:
+                    hc, jt = ai, 0                      # jt STATIC
                 qpos_v = jnp.concatenate(
                     [jnp.full((1, 1), qp_ref[b], jnp.int32)
                      for b in range(B)], axis=0)             # (B, 1)
@@ -286,7 +323,7 @@ def fused_decode_step_batch(
                         [x1 * cB - xx2 * sB, xx2 * cB + x1 * sB], axis=-1)
 
                 for hh in range(hb):
-                    head = ai * hb + hh
+                    head = hc * hb + hh
                     qoff = head * Dh
                     koff = Hq * Dh + head * Dh
                     voff = (Hq + Hkv) * Dh + head * Dh
@@ -296,55 +333,97 @@ def fused_decode_step_batch(
                     logit_new = jnp.sum(
                         q_rot[:B] * kn_rot[:B], axis=-1,
                         keepdims=True) * scale               # (B, 1)
+                    logit_new = jnp.where(live_v, logit_new, NEG_INF)
+                    s_lo = jt * St
                     lg = jnp.concatenate([
                         jax.lax.dot_general(
                             q_rot[b:b + 1],
                             k_r[0, b, hh].astype(jnp.float32),
                             dimension_numbers=(((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
-                        for b in range(B)], axis=0) * scale  # (B, S)
+                        for b in range(B)], axis=0) * scale  # (B, St)
                     # per-b (all-ints) ref reads: a (int, slice, int) index
                     # mix lowers to an unsupported >2D Mosaic gather
                     if quant:
                         lg = lg * jnp.concatenate(
-                            [ksc_r[0, b, hh] for b in range(B)], axis=0)
+                            [ksc_r[0, b, hh, 0:1, pl.ds(s_lo, St)]
+                             for b in range(B)], axis=0)
                     pv = jnp.concatenate(
-                        [pos_r[0, b, hh] for b in range(B)], axis=0)
+                        [pos_r[0, b, hh, 0:1, pl.ds(s_lo, St)]
+                         for b in range(B)], axis=0)         # (B, St)
                     mask = (pv >= 0) & (pv <= qpos_v)
                     if sliding_window is not None:
                         mask &= pv > qpos_v - sliding_window
                     lg = jnp.where(mask, lg, NEG_INF)
-                    logit_new = jnp.where(live_v, logit_new, NEG_INF)
-                    m = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True),
-                                    logit_new)
-                    e = jnp.where(mask, jnp.exp(lg - m), 0.0)
-                    e_new = jnp.where(live_v, jnp.exp(logit_new - m), 0.0)
-                    denom = jnp.maximum(
-                        jnp.sum(e, axis=-1, keepdims=True) + e_new, 1e-30)
-                    p = e / denom                            # (B, S)
-                    p_new = e_new / denom                    # (B, 1)
-                    pvv = p * jnp.concatenate(
-                        [vsc_r[0, b, hh] for b in range(B)],
-                        axis=0) if quant else p
-                    out = jnp.concatenate([
+                    if NT > 1:
+                        lgs_s[:B, pl.ds(s_lo, St)] = lg
+                        m_pr = jnp.where(jt == 0, NEG_INF, fm_s[:B, 0:1])
+                        d_pr = jnp.where(jt == 0, 0.0, fd_s[:B, 0:1])
+                        a_pr = jnp.where(jt == 0, 0.0, facc_s[:B])
+                    else:
+                        m_pr = jnp.full_like(logit_new, NEG_INF)
+                        d_pr = jnp.zeros_like(logit_new)
+                        a_pr = jnp.zeros((B, Dh), jnp.float32)
+                    # the in-flight logit joins at tile 0 (its e-term then
+                    # rescales along with the rest)
+                    m0 = jnp.maximum(jnp.max(lg, axis=-1, keepdims=True),
+                                     jnp.where(jt == 0, logit_new, NEG_INF))
+                    m_nw = jnp.maximum(m_pr, m0)
+                    r = jnp.exp(m_pr - m_nw)                 # (B, 1)
+                    e = jnp.where(mask, jnp.exp(lg - m_nw), 0.0)
+                    e_new0 = jnp.where(
+                        (jt == 0) & live_v, jnp.exp(logit_new - m_nw), 0.0)
+                    d_nw = d_pr * r + jnp.sum(e, axis=-1, keepdims=True) \
+                        + e_new0
+                    pvv = e * jnp.concatenate(
+                        [vsc_r[0, b, hh, 0:1, pl.ds(s_lo, St)]
+                         for b in range(B)], axis=0) if quant else e
+                    ev = jnp.concatenate([
                         jax.lax.dot_general(
                             pvv[b:b + 1],
                             v_r[0, b, hh].astype(jnp.float32),
                             dimension_numbers=DN,
                             preferred_element_type=jnp.float32)
                         for b in range(B)], axis=0)          # (B, Dh)
-                    out = out + p_new * vn_all[:B]
-                    if Bp != B:
-                        out = jnp.concatenate(
-                            [out, jnp.zeros((Bp - B, Dh), jnp.float32)],
-                            axis=0)
-                    attn_s[:, pl.ds(qoff, Dh)] = out
-                    for b in range(B):       # all-ints stores (see above)
-                        probs_o[0, b, hh] = p[b:b + 1]
-                        kn_o[0, b, hh] = kn_rot[b:b + 1].astype(kn_o.dtype)
-                        vn_o[0, b, hh] = vn_all[b:b + 1].astype(vn_o.dtype)
-                        pnew_o[0, b, hh] = jnp.broadcast_to(
-                            p_new[b:b + 1], (1, 128))
+                    a_nw = a_pr * r + ev
+                    if NT > 1:
+                        fm_s[:B, 0:1] = m_nw
+                        fd_s[:B, 0:1] = d_nw
+                        facc_s[:B] = a_nw
+
+                    def _fin_attn(m_nw=m_nw, d_nw=d_nw, a_nw=a_nw,
+                                  logit_new=logit_new, kn_rot=kn_rot,
+                                  vn_all=vn_all, e=e, qoff=qoff, hh=hh):
+                        e_new = jnp.where(
+                            live_v, jnp.exp(logit_new - m_nw), 0.0)
+                        denom = jnp.maximum(d_nw, 1e-30)
+                        out = (a_nw + e_new * vn_all[:B]) / denom
+                        if Bp != B:
+                            out = jnp.concatenate(
+                                [out, jnp.zeros((Bp - B, Dh), jnp.float32)],
+                                axis=0)
+                        attn_s[:, pl.ds(qoff, Dh)] = out
+                        if NT > 1:
+                            lg_full = lgs_s[:B]              # (B, S)
+                            p = jnp.where(lg_full > NEG_INF / 2,
+                                          jnp.exp(lg_full - m_nw), 0.0) \
+                                / denom
+                        else:
+                            p = e / denom                    # (B, S)
+                        p_new = e_new / denom                # (B, 1)
+                        for b in range(B):   # all-ints stores (see above)
+                            probs_o[0, b, hh] = p[b:b + 1]
+                            kn_o[0, b, hh] = kn_rot[b:b + 1].astype(
+                                kn_o.dtype)
+                            vn_o[0, b, hh] = vn_all[b:b + 1].astype(
+                                vn_o.dtype)
+                            pnew_o[0, b, hh] = jnp.broadcast_to(
+                                p_new[b:b + 1], (1, 128))
+
+                    if NT > 1:
+                        pl.when(jt == NT - 1)(_fin_attn)
+                    else:
+                        _fin_attn()
                 return
 
             for hh in range(hb):
@@ -469,11 +548,24 @@ def fused_decode_step_batch(
                 l, 0, jnp.clip(t - o, 0, c - 1)),
             memory_space=pltpu.VMEM)
 
-    def ahead(shape):  # attention (all-B, head-block) block
+    def _ahc(t):
+        a = jnp.clip(t - oA, 0, TA - 1)
+        return a // NT if NT > 1 else a
+
+    def _ajt(t):
+        a = jnp.clip(t - oA, 0, TA - 1)
+        return a - (a // NT) * NT if NT > 1 else 0
+
+    def ahead(shape):  # full-S attention block (pos/scales/outputs)
         return pl.BlockSpec(
             shape,
-            lambda l, t, qp: (l, 0, jnp.clip(t - oA, 0, TA - 1))
-            + (0,) * (len(shape) - 3),
+            lambda l, t, qp: (l, 0, _ahc(t)) + (0,) * (len(shape) - 3),
+            memory_space=pltpu.VMEM)
+
+    def akv(shape):    # S-tiled K/V block (NT flash tiles per head)
+        return pl.BlockSpec(
+            shape,
+            lambda l, t, qp: (l, 0, _ahc(t), _ajt(t), 0),
             memory_space=pltpu.VMEM)
 
     const = lambda shape: pl.BlockSpec(
@@ -489,8 +581,8 @@ def fused_decode_step_batch(
         tile3(kho, tno, oO, TO), gtile(2 * go, tno, oO, TO),
         tile3(khq, tng, oG, TG), gtile(2 * gg, tng, oG, TG),
         tile3(khd, tnd, oD, TD), gtile(2 * gd, tnd, oD, TD),
-        ahead((1, B, hb, S, Dh)),         # k
-        ahead((1, B, hb, S, Dh)),         # v
+        akv((1, B, hb, St, Dh)),          # k
+        akv((1, B, hb, St, Dh)),          # v
         ahead((1, B, hb, 1, S)),          # pos (L, B, Hkv, 1, S)
     ]
     inputs = [h0, layers["ln_attn"][:, None, :], layers["ln_mlp"][:, None, :],
@@ -531,6 +623,10 @@ def fused_decode_step_batch(
             pltpu.VMEM((Bp, 2 * F), jnp.float32),             # gu_s
             pltpu.VMEM((Bp, F), jnp.float32),                 # swig_s
             pltpu.VMEM((Bp, kh_max), jnp.float32),            # xh_s
+            pltpu.VMEM((Bp, S), jnp.float32),                 # lgs_s (flash)
+            pltpu.VMEM((Bp, 128), jnp.float32),               # fm_s
+            pltpu.VMEM((Bp, 128), jnp.float32),               # fd_s
+            pltpu.VMEM((Bp, Dh), jnp.float32),                # facc_s
         ],
     )
 

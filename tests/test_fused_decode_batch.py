@@ -209,3 +209,116 @@ def test_mega_batch_mha_fast_path(kv_quant, monkeypatch):
     for name, a, b in zip(ref_cache._fields, ref_cache, got_cache):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), err_msg=name, **tol)
+
+
+def test_mega_batch_flash_tiles(monkeypatch):
+    # NT>1 S-tiled flash attention (the B=16 VMEM path) vs the scan, on the
+    # MHA config (rep==1 is the only S-tiled path); forced via the NT
+    # override so tiny test shapes exercise the tile seams
+    monkeypatch.setenv("EASYKV_TPU_MEGAB_NT", "2")
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(3))
+    qp = quantize_params_int4(params, group_size=16, layout="arith")
+    qp = fuse_gemv_params(qp)
+    qp = materialize_params(qp)
+    cache = init_cache(cfg.num_hidden_layers, B, 4, 32, cfg.head_dim,
+                       dtype=jnp.float32, quantized=True)
+    T = 8
+    ids = jnp.asarray(
+        np.random.default_rng(6).integers(1, 60, (B, T)), jnp.int32)
+    ctx = StepCtx(
+        q_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T)),
+        token_valid=jnp.ones((B, T), bool),
+        counter_init=jnp.zeros((B, T), jnp.float32),
+        next_pos=jnp.full((B,), T, jnp.int32),
+        prompt_len=jnp.full((B,), T, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(False),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    _, cache = forward(qp, cfg, cache, ids, ctx, None)
+    tok = jnp.asarray([[7], [11], [3]], jnp.int32)
+    dctx = StepCtx(
+        q_pos=jnp.asarray([[8], [8], [-1]], jnp.int32),  # row 2 dead
+        token_valid=jnp.asarray([[True], [True], [False]]),
+        counter_init=jnp.zeros((B, 1), jnp.float32),
+        next_pos=jnp.asarray([9, 9, 8], jnp.int32),
+        prompt_len=jnp.full((B,), 8, jnp.int32),
+        evict_gate=jnp.zeros((B,), bool),
+        update_gate=jnp.array(True),
+        rand_rank=jnp.zeros((B,), jnp.int32),
+    )
+    spec = PolicySpec(policy="roco", phase=PHASE_DECODE, k=1,
+                      sink_length=4, recent_window=2, feasible_k=4)
+    flags.use_pallas(True)
+    try:
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+        ref_logits, ref_cache = forward(qp, cfg, cache, tok, dctx, spec)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+        got_logits, got_cache = forward(qp, cfg, cache, tok, dctx, spec)
+    finally:
+        flags.use_pallas(None)
+    tol = dict(atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_logits)[:2], np.asarray(ref_logits)[:2], **tol)
+    for name, a, b in zip(ref_cache._fields, ref_cache, got_cache):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), err_msg=name, **tol)
+
+
+def test_mega_batch_b16(monkeypatch):
+    # B=16 (the lifted gate): MHA config, parity on logits for all rows
+    nb = 16
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128,
+    )
+    params = llama.init_params(cfg, jax.random.PRNGKey(4))
+    qp = quantize_params_int4(params, group_size=16, layout="arith")
+    qp = fuse_gemv_params(qp)
+    qp = materialize_params(qp)
+    cache = init_cache(cfg.num_hidden_layers, nb, 4, 32, cfg.head_dim,
+                       dtype=jnp.float32)
+    T = 8
+    ids = jnp.asarray(
+        np.random.default_rng(8).integers(1, 60, (nb, T)), jnp.int32)
+    ctx = StepCtx(
+        q_pos=jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None],
+                               (nb, T)),
+        token_valid=jnp.ones((nb, T), bool),
+        counter_init=jnp.zeros((nb, T), jnp.float32),
+        next_pos=jnp.full((nb,), T, jnp.int32),
+        prompt_len=jnp.full((nb,), T, jnp.int32),
+        evict_gate=jnp.zeros((nb,), bool),
+        update_gate=jnp.array(False),
+        rand_rank=jnp.zeros((nb,), jnp.int32),
+    )
+    _, cache = forward(qp, cfg, cache, ids, ctx, None)
+    tok = jnp.asarray(
+        np.random.default_rng(9).integers(1, 60, (nb, 1)), jnp.int32)
+    dctx = StepCtx(
+        q_pos=jnp.full((nb, 1), 8, jnp.int32),
+        token_valid=jnp.ones((nb, 1), bool),
+        counter_init=jnp.zeros((nb, 1), jnp.float32),
+        next_pos=jnp.full((nb,), 9, jnp.int32),
+        prompt_len=jnp.full((nb,), 8, jnp.int32),
+        evict_gate=jnp.zeros((nb,), bool),
+        update_gate=jnp.array(True),
+        rand_rank=jnp.zeros((nb,), jnp.int32),
+    )
+    flags.use_pallas(True)
+    try:
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "0")
+        ref_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+        monkeypatch.setenv("EASYKV_TPU_MEGA", "1")
+        got_logits, _ = forward(qp, cfg, cache, tok, dctx, None)
+    finally:
+        flags.use_pallas(None)
+    np.testing.assert_allclose(
+        np.asarray(got_logits), np.asarray(ref_logits),
+        atol=1e-4, rtol=1e-4)

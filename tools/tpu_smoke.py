@@ -101,6 +101,13 @@ def scenarios():
         # batched mega on GQA shapes (rep=4 per-head q reshape) + window
         ("mistral_decode_b2", "int4", True, True, "decoding", dec, {},
          2, 512, 1, "mistral7b"),
+        # B=8: the serving batch (all-B attention phases, NT=1)
+        ("int4_decode_b8", "int4", True, True, "decoding", dec, {}, 8, 512,
+         1, "llama7b"),
+        # B=16: the lifted gate — Bp=16 scratch, CG=2, S-tiled flash
+        # attention (NT=2 at S=768) + halved weight tiles
+        ("int4_decode_b16", "int4", True, True, "decoding", dec, {}, 16,
+         512, 1, "llama7b"),
         # mega off: per-op arith GEMV kernel (w4a16_gemv_arith) decode
         ("int4_decode_nomega", "int4", True, True, "decoding", dec,
          {"EASYKV_TPU_MEGA": "0"}, 1, 512, 1, "llama7b"),
