@@ -65,11 +65,16 @@ def main():
 
     t0 = time.time()
     halves = []
-    for seed_off in (0, 1):
-        p = fake_int4_params(cfg)
-        if seed_off:
-            p = {**p, "layers": p["layers"]}  # same shapes; values don't
-        halves.append(jax.jit(materialize_params)(fuse_gemv_params(p)))
+    for part in ("embed", "head"):
+        p = jax.jit(materialize_params)(fuse_gemv_params(
+            fake_int4_params(cfg)))
+        # strip what this half never touches — the dead embed/lm_head
+        # otherwise rides along in the execution working set (the tunnel
+        # caps it at ~6-7 GB; bench_13b.py pinned the constraint)
+        keep = ("embed", "layers") if part == "embed" else (
+            "final_norm", "lm_head", "layers")
+        halves.append({kk: p[kk] for kk in keep})
+        del p
     jax.block_until_ready(halves)
     log(f"2x 20-layer 13B halves built in {time.time()-t0:.1f}s "
         f"(full-depth L={2*HL})")
@@ -101,10 +106,13 @@ def main():
             v_scale=jnp.full((HL, 1, H, S), 1e-2, jnp.float32),
         )
 
-    ones1 = jnp.ones((1,), bool)
-    zeros1i = jnp.zeros((1,), jnp.int32)
-    zeros1f = jnp.zeros((1,), jnp.float32)
-    prompt_len = jnp.full((1,), P_LEN, jnp.int32)
+    # numpy constants: device-array closures would be re-downloaded at
+    # trace time to embed as HLO constants
+    ones1 = np.ones((1,), bool)
+    zeros1i = np.zeros((1,), np.int32)
+    zeros1f = np.zeros((1,), np.float32)
+    prompt_len = np.full((1,), P_LEN, np.int32)
+    sync = os.environ.get("EASYKV_13B_SYNC", "0") not in ("0", "", "off")
 
     def half_step(params, cache, h, n):
         """One 20-layer mega-kernel pass + fused sidecar/evict + row write
@@ -181,6 +189,11 @@ def main():
         t0 = time.time()
         for _ in range(steps):
             h_mid, cache1 = f1(halves[0], cache1, token, n)
+            if sync:
+                # serialize the two executions (EASYKV_13B_SYNC=1): caps
+                # the instantaneous working set at one half, at the cost
+                # of a host sync per step
+                jax.block_until_ready(h_mid)
             token, cache2, key, n = f2(halves[1], cache2, h_mid, n, key)
         jax.block_until_ready(token)
         return time.time() - t0

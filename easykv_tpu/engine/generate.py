@@ -656,12 +656,31 @@ def _compact_one(cache: KVCache, pos_mid: jax.Array,
     pos = compact(cache.pos)
     # the (now one-past-the-end) last slot wrapped around to slot 0's value
     pos = jnp.where((iota == S - 1) & any_ev[..., 0][..., None], -1, pos)
+    quant = cache.k_scale is not None and cache.k_scale.shape[3] == S
     if rot_inv_freq is None:
         k_new, ksc_new = compact(cache.k), compact(cache.k_scale)
+        v_new, vsc_new = compact(cache.v), compact(cache.v_scale)
+    elif (flags.sidecar_enabled() and S % 128 == 0
+          and (mi is None or mi[0].size == 1)):
+        # one VMEM pass: shift + R(-theta) + requant on shifted K rows only
+        # (the XLA formulation below materializes full-cache f32
+        # intermediates every step — ~3.6 ms at 7B, bench_streaming r5)
+        from ..ops.pallas.sidecar_update import fused_kv_compact
+
+        v_slot_a = jnp.min(jnp.where(evicted, iota, S), axis=-1)  # (L,B,H)
+        res = fused_kv_compact(
+            cache.k, cache.v, v_slot_a,
+            k_scale=cache.k_scale if quant else None,
+            v_scale=cache.v_scale if quant else None,
+            inv_freq=rot_inv_freq, rotate=True,
+            interpret=flags.pallas_interpret(),
+        )
+        k_new, v_new = res[0], res[1]
+        ksc_new, vsc_new = (res[2], res[3]) if quant else (
+            cache.k_scale, cache.v_scale)
     else:
         from ..cache import quantize_kv
 
-        quant = cache.k_scale is not None and cache.k_scale.shape[3] == S
         k_roll = jnp.roll(cache.k, -1, axis=3).astype(jnp.float32)
         if quant:
             k_roll = k_roll * jnp.roll(cache.k_scale, -1, axis=3)[..., None]
@@ -679,11 +698,12 @@ def _compact_one(cache: KVCache, pos_mid: jax.Array,
         else:
             k_new = jnp.where(gem, k_rot.astype(cache.k.dtype), cache.k)
             ksc_new = cache.k_scale
+        v_new, vsc_new = compact(cache.v), compact(cache.v_scale)
     return cache._replace(
-        k=k_new, v=compact(cache.v), pos=pos,
+        k=k_new, v=v_new, pos=pos,
         score=compact(cache.score), score_sq=compact(cache.score_sq),
         counter=compact(cache.counter),
-        k_scale=ksc_new, v_scale=compact(cache.v_scale),
+        k_scale=ksc_new, v_scale=vsc_new,
     )
 
 

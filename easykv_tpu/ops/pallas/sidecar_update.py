@@ -584,3 +584,137 @@ def fused_compact(
         input_output_aliases=aliases,
         interpret=interpret,
     )(*inputs)
+
+
+# ---------------------------------------------------------------------------
+# K/V compact (+ pre-rotation Givens) kernel — ordered streaming decode
+# ---------------------------------------------------------------------------
+
+
+def _kv_compact_kernel(vslot_ref, cos_ref, sin_ref, k_ref, v_ref, *rest,
+                       quant, rotate, H):
+    """Per (layer, batch, head-block): shift K/V rows above the victim down
+    by one; with `rotate`, every SHIFTED K row picks up the fixed R(-theta)
+    Givens update (its age rank dropped by one) and is requantized with a
+    fresh per-row scale (bit-matching cache.quantize_kv). V and its scale
+    shift unrotated. The XLA formulation of the same math materializes
+    full-cache f32 intermediates (dequant + rotate + rowmax + requant) and
+    cost ~3.6 ms/step at 7B (bench_streaming r5 first-light 0.614 ratio);
+    here the f32 stages live only in VMEM."""
+    if quant:
+        ksc_ref, vsc_ref = rest[0], rest[1]
+        outs = rest[2:]
+        k_o, v_o, ksc_o, vsc_o = outs[:4]
+    else:
+        k_o, v_o = rest[:2]
+    l = pl.program_id(0)
+    b = pl.program_id(1)
+    hc = pl.program_id(2)
+    B = pl.num_programs(1)
+    hb = k_ref.shape[2]
+    S, D = k_ref.shape[3], k_ref.shape[4]
+    d2 = D // 2
+    c = cos_ref[:]                                   # (1, D/2) f32
+    s_ = sin_ref[:]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+
+    for h in range(hb):
+        vs = vslot_ref[(l * B + b) * H + hc * hb + h]
+        ge = iota >= vs                              # (S, 1)
+        kf = k_ref[0, 0, h].astype(jnp.float32)      # (S, D)
+        vf = v_ref[0, 0, h].astype(jnp.float32)
+        if quant:
+            ksc = ksc_ref[0, 0, h]                   # (S, 1) f32
+            vsc = vsc_ref[0, 0, h]
+            kd = kf * ksc
+        else:
+            kd = kf
+        sh = jnp.concatenate([kd[1:], kd[:1]], axis=0)
+        if rotate:
+            x1, x2 = sh[:, :d2], sh[:, d2:]
+            # R(-theta): the shifted row's rank dropped by exactly one
+            sh = jnp.concatenate([x1 * c + x2 * s_, x2 * c - x1 * s_],
+                                 axis=-1)
+        if quant:
+            amax = jnp.max(jnp.abs(sh), axis=-1, keepdims=True)
+            nsc = jnp.maximum(amax, 1e-8) * jnp.float32(1.0 / 127.0)
+            qn = jnp.clip(jnp.round(sh / nsc), -127, 127)
+            k_o[0, 0, h] = jnp.where(ge, qn, kf).astype(k_o.dtype)
+            ksc_o[0, 0, h] = jnp.where(ge, nsc, ksc)
+            vsh = jnp.concatenate([vf[1:], vf[:1]], axis=0)
+            v_o[0, 0, h] = jnp.where(ge, vsh, vf).astype(v_o.dtype)
+            vsc_o[0, 0, h] = jnp.where(
+                ge, jnp.concatenate([vsc[1:], vsc[:1]], axis=0), vsc)
+        else:
+            k_o[0, 0, h] = jnp.where(ge, sh, kf).astype(k_o.dtype)
+            vsh = jnp.concatenate([vf[1:], vf[:1]], axis=0)
+            v_o[0, 0, h] = jnp.where(ge, vsh, vf).astype(v_o.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("rotate", "interpret"))
+def fused_kv_compact(
+    k: jax.Array,          # (L, B, H, S, D) int8 | bf16 (donated)
+    v: jax.Array,
+    v_slot: jax.Array,     # (L, B, H) int32 victim slot; S = no eviction
+    k_scale: Optional[jax.Array] = None,   # (L, B, H, S) f32 (int8 KV)
+    v_scale: Optional[jax.Array] = None,
+    inv_freq: Optional[jax.Array] = None,  # (D/2,) — rotate shifted K rows
+    rotate: bool = False,
+    interpret: bool = False,
+):
+    """K/V (+ scales) age-ordered compaction, optionally with the
+    pre-rotated-cache R(-theta) update on shifted K rows. Unlike
+    fused_compact this uses 5-D blocks only (head-block size is free of the
+    4-D sublane-tiling constraint), so it fits scoped VMEM at 7B S=768.
+    Returns (k, v[, k_scale, v_scale]) aliased in place."""
+    L, B, H, S, D = k.shape
+    quant = k_scale is not None
+    hb = 1
+    for cand in (4, 2):
+        if H % cand == 0 and cand * S * D * (2 + 8) * 2 <= 10 * (1 << 20):
+            hb = cand
+            break
+    if rotate:
+        c = jnp.cos(inv_freq)[None, :].astype(jnp.float32)
+        s_ = jnp.sin(inv_freq)[None, :].astype(jnp.float32)
+    else:
+        c = jnp.zeros((1, D // 2), jnp.float32)
+        s_ = jnp.zeros((1, D // 2), jnp.float32)
+
+    def s5(shape):
+        return pl.BlockSpec(shape, lambda l, b, h, vp: (l, b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    const = pl.BlockSpec((1, D // 2), lambda l, b, h, vp: (0, 0),
+                         memory_space=pltpu.VMEM)
+    kv5 = s5((1, 1, hb, S, D))
+    sc5 = s5((1, 1, hb, S, 1))
+    in_specs = [const, const, kv5, kv5]
+    out_specs = [kv5, kv5]
+    out_shape = [jax.ShapeDtypeStruct(k.shape, k.dtype),
+                 jax.ShapeDtypeStruct(v.shape, v.dtype)]
+    inputs = [v_slot.reshape(-1), c, s_, k, v]
+    # alias indices count the scalar-prefetch arg first
+    aliases = {3: 0, 4: 1}
+    if quant:
+        in_specs += [sc5, sc5]
+        out_specs += [sc5, sc5]
+        out_shape += [jax.ShapeDtypeStruct((L, B, H, S, 1), jnp.float32)] * 2
+        inputs += [k_scale[..., None], v_scale[..., None]]
+        aliases.update({5: 2, 6: 3})
+    res = pl.pallas_call(
+        functools.partial(_kv_compact_kernel, quant=quant, rotate=rotate,
+                          H=H),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(L, B, H // hb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*inputs)
+    if quant:
+        return res[0], res[1], res[2][..., 0], res[3][..., 0]
+    return res[0], res[1]

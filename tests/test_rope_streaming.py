@@ -459,3 +459,68 @@ def test_prerotated_unit_semantics():
     # untouched head 1 keeps its pre-rotated values
     np.testing.assert_allclose(np.asarray(out.k)[0, 0, 1], want[0, 0, 1],
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_fused_kv_compact_matches_xla_rotate(quant):
+    """fused_kv_compact (one aliased VMEM pass: shift + R(-theta) + requant
+    on shifted K rows) vs the XLA formulation in _compact_one: identical
+    bytes on random victim patterns."""
+    from easykv_tpu.cache import quantize_kv
+    from easykv_tpu.ops.pallas.sidecar_update import fused_kv_compact
+    from easykv_tpu.ops.rope import rope_inv_freq
+
+    L, B, H, S, D = 2, 2, 4, 128, 32
+    inv_freq = rope_inv_freq(D, 10000.0)
+    rng = np.random.default_rng(11)
+    if quant:
+        k = jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 128, (L, B, H, S, D)), jnp.int8)
+        ksc = jnp.asarray(rng.random((L, B, H, S)) * 0.02 + 1e-3,
+                          jnp.float32)
+        vsc = jnp.asarray(rng.random((L, B, H, S)) * 0.02 + 1e-3,
+                          jnp.float32)
+    else:
+        k = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((L, B, H, S, D)), jnp.float32)
+        ksc = vsc = None
+    # victim slots: some heads evict (slot < S), some don't (S)
+    v_slot = jnp.asarray(
+        np.where(rng.random((L, B, H)) < 0.7,
+                 rng.integers(0, S, (L, B, H)), S), jnp.int32)
+
+    got = fused_kv_compact(k, v, v_slot, k_scale=ksc, v_scale=vsc,
+                           inv_freq=inv_freq, rotate=True, interpret=True)
+
+    # XLA reference (same math as _compact_one's fallback branch)
+    iota = jnp.arange(S, dtype=jnp.int32)
+    ge = (iota[None, None, None, :] >= v_slot[..., None])
+    k_roll = jnp.roll(k, -1, axis=3).astype(jnp.float32)
+    if quant:
+        k_roll = k_roll * jnp.roll(ksc, -1, axis=3)[..., None]
+    d2 = D // 2
+    c, s = jnp.cos(inv_freq), jnp.sin(inv_freq)
+    x1, x2 = k_roll[..., :d2], k_roll[..., d2:]
+    k_rot = jnp.concatenate([x1 * c + x2 * s, x2 * c - x1 * s], axis=-1)
+    gem = ge[..., None]
+    if quant:
+        knq, nsc = quantize_kv(k_rot)
+        want_k = jnp.where(gem, knq, k)
+        want_ksc = jnp.where(ge, nsc, ksc)
+        np.testing.assert_array_equal(np.asarray(got[0]),
+                                      np.asarray(want_k))
+        np.testing.assert_allclose(np.asarray(got[2]),
+                                   np.asarray(want_ksc), rtol=1e-6)
+        want_v = jnp.where(gem, jnp.roll(v, -1, axis=3), v)
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(want_v))
+        want_vsc = jnp.where(ge, jnp.roll(vsc, -1, axis=3), vsc)
+        np.testing.assert_allclose(np.asarray(got[3]),
+                                   np.asarray(want_vsc), rtol=1e-6)
+    else:
+        want_k = jnp.where(gem, k_rot, k)
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want_k),
+                                   atol=1e-5)
+        want_v = jnp.where(gem, jnp.roll(v, -1, axis=3), v)
+        np.testing.assert_array_equal(np.asarray(got[1]),
+                                      np.asarray(want_v))
