@@ -44,7 +44,9 @@ def main():
             num_hidden_layers=32, num_attention_heads=32,
             num_key_value_heads=32, max_position_embeddings=4096,
         )
-        dtype, P, gen, budget, batches = jnp.bfloat16, 512, 256, 200, [1, 2, 4, 8]
+        dtype, P, gen, budget = jnp.bfloat16, 512, 256, 200
+        batches = [int(x) for x in os.environ.get(
+            "EASYKV_BENCH_BATCHES", "1,2,4,8").split(",")]
         fmts = {"int8": ("int8",), "int4": ("int4",),
                 "both": ("int8", "int4")}[
                     os.environ.get("EASYKV_BENCH_WEIGHTS", "int8")]

@@ -137,13 +137,32 @@ def nucleus_mask(prob: jax.Array, top_p) -> jax.Array:
     V = prob.shape[-1]
     bits = jax.lax.bitcast_convert_type(prob, jnp.int32)  # probs >= 0: monotone
 
-    def body(i, prefix):
-        cand = prefix | jax.lax.shift_left(jnp.int32(1), 30 - i)
-        mass = jnp.sum(jnp.where(bits > cand, prob, 0.0), axis=-1,
-                       keepdims=True)
-        return jnp.where(mass > top_p, cand, prefix)
+    # radix-16 bisection: 8 digit rounds instead of 31 bit rounds — the
+    # loop is serial-REDUCTION-latency bound (~10 us per V-wide masked sum
+    # on v5e, 0.31 ms/step total at 31 rounds), so testing all 15 digit
+    # candidates in ONE vectorized pass per round quarters the latency at
+    # trivial extra VPU work. Exact: mass(p > cand) is monotone decreasing
+    # in cand, so the count of candidates with mass > top_p IS the largest
+    # digit whose candidate keeps mass > top_p (d = 0 when none do) — the
+    # same greedy choice the bit loop makes, four bits at a time.
+    digits = jnp.arange(1, 16, dtype=jnp.int32)           # (15,)
 
-    t = jax.lax.fori_loop(0, 31, body,
+    def body(i, prefix):
+        shift = 28 - 4 * i
+        # round 0's digit spans bits 31..28: d >= 8 would set the sign
+        # bit — clamp those candidates to INT_MAX (mass 0, never counted)
+        hi = jax.lax.shift_left(digits, shift)
+        over = jax.lax.shift_right_logical(hi, shift) != digits
+        over |= hi < 0
+        cands = jnp.where(over, jnp.int32(2**31 - 1), hi)[
+            (...,) + (None,) * prefix.ndim] | prefix[None]  # (15, ..., 1)
+        masses = jnp.sum(
+            jnp.where(bits[None] > cands, prob[None], 0.0), axis=-1,
+            keepdims=True)                                # (15, ..., 1)
+        d = jnp.sum((masses > top_p).astype(jnp.int32), axis=0)
+        return prefix | jax.lax.shift_left(d, shift)
+
+    t = jax.lax.fori_loop(0, 8, body,
                           jnp.zeros(prob.shape[:-1] + (1,), jnp.int32))
     above = bits > t                                   # boundary group incl. ties
     c = jnp.min(jnp.where(above, prob, jnp.float32(jnp.inf)), axis=-1,
