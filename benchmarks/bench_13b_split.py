@@ -174,13 +174,14 @@ def main():
 
     x = jnp.zeros((8, 128), jnp.float32)
     x = tiny(x)
-    jax.block_until_ready(x)
+    np.asarray(x)
     t0 = time.time()
     for _ in range(64):
         x = tiny(x)
-    jax.block_until_ready(x)
+    np.asarray(x)
     disp = (time.time() - t0) / 64 * 1e3
-    log(f"host-loop dispatch probe: {disp:.3f} ms/call")
+    log(f"host-loop dispatch probe (chained, forced readback): "
+        f"{disp:.3f} ms/call")
 
     n = jnp.int32(0)
 
@@ -195,7 +196,8 @@ def main():
                 # of a host sync per step
                 jax.block_until_ready(h_mid)
             token, cache2, key, n = f2(halves[1], cache2, h_mid, n, key)
-        jax.block_until_ready(token)
+        np.asarray(token)  # forced readback: through the tunnel,
+        # block_until_ready returns before execution finishes (CLAUDE.md)
         return time.time() - t0
 
     run(4)  # warm-up/compile

@@ -679,11 +679,11 @@ def _compact_one(cache: KVCache, pos_mid: jax.Array,
         ksc_new, vsc_new = (res[2], res[3]) if quant else (
             cache.k_scale, cache.v_scale)
     else:
-        from ..cache import quantize_kv
-
+        # XLA fallback (off-TPU / sharded): same scale-free requant as
+        # fused_kv_compact — rotation commutes with the per-row scale, so
+        # the values renormalize by the RAW rowmax and the scale picks up
+        # the old-scale * rowmax/127 factor
         k_roll = jnp.roll(cache.k, -1, axis=3).astype(jnp.float32)
-        if quant:
-            k_roll = k_roll * jnp.roll(cache.k_scale, -1, axis=3)[..., None]
         d2 = k_roll.shape[-1] // 2
         c = jnp.cos(rot_inv_freq)
         s = jnp.sin(rot_inv_freq)
@@ -692,9 +692,16 @@ def _compact_one(cache: KVCache, pos_mid: jax.Array,
         k_rot = jnp.concatenate([x1 * c + x2 * s, x2 * c - x1 * s], axis=-1)
         gem = ge[..., None]
         if quant:
-            knq, ksc = quantize_kv(k_rot)
-            k_new = jnp.where(gem, knq, cache.k)
-            ksc_new = jnp.where(ge, ksc, cache.k_scale)
+            amax = jnp.max(jnp.abs(k_rot), axis=-1)               # raw
+            qn = jnp.clip(jnp.round(
+                k_rot * (jnp.float32(127.0)
+                         / jnp.maximum(amax, 1e-30))[..., None]),
+                -127, 127)
+            nsc = jnp.maximum(
+                jnp.roll(cache.k_scale, -1, axis=3) * amax, 1e-8
+            ) * jnp.float32(1.0 / 127.0)
+            k_new = jnp.where(gem, qn, cache.k).astype(cache.k.dtype)
+            ksc_new = jnp.where(ge, nsc, cache.k_scale)
         else:
             k_new = jnp.where(gem, k_rot.astype(cache.k.dtype), cache.k)
             ksc_new = cache.k_scale

@@ -132,11 +132,14 @@ def fused_decode_step_batch(
     hb = _pick_hb(Hkv, S, Dh, B * k.dtype.itemsize, budget=1 << 20)
     NT = 1
     if rep == 1:
+        # Bp=16 also tightens the K/V tile budget: the first b16 compile
+        # came in 40K over the 16M scoped-vmem limit at NT=2 x 768K tiles
+        nt_budget = 1 << 20 if Bp <= 8 else 1 << 19
         nlanes = S // 128
         for cand in range(1, nlanes + 1):
             if nlanes % cand:
                 continue
-            if B * hb * (S // cand) * Dh * k.dtype.itemsize <= 1 << 20:
+            if B * hb * (S // cand) * Dh * k.dtype.itemsize <= nt_budget:
                 NT = cand
                 break
         nt_env = os.environ.get("EASYKV_TPU_MEGAB_NT")  # test/A-B override

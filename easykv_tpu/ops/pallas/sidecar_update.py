@@ -596,11 +596,20 @@ def _kv_compact_kernel(vslot_ref, cos_ref, sin_ref, k_ref, v_ref, *rest,
     """Per (layer, batch, head-block): shift K/V rows above the victim down
     by one; with `rotate`, every SHIFTED K row picks up the fixed R(-theta)
     Givens update (its age rank dropped by one) and is requantized with a
-    fresh per-row scale (bit-matching cache.quantize_kv). V and its scale
-    shift unrotated. The XLA formulation of the same math materializes
-    full-cache f32 intermediates (dequant + rotate + rowmax + requant) and
-    cost ~3.6 ms/step at 7B (bench_streaming r5 first-light 0.614 ratio);
-    here the f32 stages live only in VMEM."""
+    fresh per-row scale. V and its scale shift unrotated. The XLA
+    formulation of the same math materializes full-cache f32 intermediates
+    (dequant + rotate + rowmax + requant) and cost ~3.6 ms/step at 7B
+    (bench_streaming r5 first-light 0.614 ratio); here the f32 stages live
+    only in VMEM.
+
+    Layout notes: rotation operates on the RAW int8 values (it commutes
+    with the per-row scalar scale) and the requant divides by the raw
+    rowmax — the scale cancels, so the (S, D) value pipeline never touches
+    the scale vectors. Scales ride in a PACKED (S/128, 128) lane layout
+    (a (S, 1)-shaped block would be lane-padded 128x — the first cut
+    moved ~1.5 GB/step of padding and showed up as a 0.672 streaming
+    ratio); the one sublane->lane handoff (the rowmax factor) is a
+    one-hot (S/128, S) @ (S, 128) MXU dot."""
     if quant:
         ksc_ref, vsc_ref = rest[0], rest[1]
         outs = rest[2:]
@@ -613,41 +622,68 @@ def _kv_compact_kernel(vslot_ref, cos_ref, sin_ref, k_ref, v_ref, *rest,
     B = pl.num_programs(1)
     hb = k_ref.shape[2]
     S, D = k_ref.shape[3], k_ref.shape[4]
+    SL = S // 128
     d2 = D // 2
     c = cos_ref[:]                                   # (1, D/2) f32
     s_ = sin_ref[:]
     iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+    if quant:
+        # one-hot repack operands (shared across heads)
+        E = (jax.lax.broadcasted_iota(jnp.int32, (S, 128), 0) % 128
+             == jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
+             ).astype(jnp.float32)
+        G = (jax.lax.broadcasted_iota(jnp.int32, (SL, S), 1) // 128
+             == jax.lax.broadcasted_iota(jnp.int32, (SL, S), 0)
+             ).astype(jnp.float32)
+        flat = (jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 0) * 128
+                + jax.lax.broadcasted_iota(jnp.int32, (SL, 128), 1))
+
+    def shift_lane(x):     # (SL, 128) flat-index shift by +1
+        wrap = jnp.concatenate([x[1:, 0:1], x[0:1, 0:1]], axis=0)
+        return jnp.concatenate([x[:, 1:], wrap], axis=1)
 
     for h in range(hb):
         vs = vslot_ref[(l * B + b) * H + hc * hb + h]
         ge = iota >= vs                              # (S, 1)
-        kf = k_ref[0, 0, h].astype(jnp.float32)      # (S, D)
+        kf = k_ref[0, 0, h].astype(jnp.float32)      # (S, D) raw values
         vf = v_ref[0, 0, h].astype(jnp.float32)
-        if quant:
-            ksc = ksc_ref[0, 0, h]                   # (S, 1) f32
-            vsc = vsc_ref[0, 0, h]
-            kd = kf * ksc
-        else:
-            kd = kf
-        sh = jnp.concatenate([kd[1:], kd[:1]], axis=0)
+        sh = jnp.concatenate([kf[1:], kf[:1]], axis=0)
         if rotate:
             x1, x2 = sh[:, :d2], sh[:, d2:]
             # R(-theta): the shifted row's rank dropped by exactly one
             sh = jnp.concatenate([x1 * c + x2 * s_, x2 * c - x1 * s_],
                                  axis=-1)
-        if quant:
-            amax = jnp.max(jnp.abs(sh), axis=-1, keepdims=True)
-            nsc = jnp.maximum(amax, 1e-8) * jnp.float32(1.0 / 127.0)
-            qn = jnp.clip(jnp.round(sh / nsc), -127, 127)
+        vsh = jnp.concatenate([vf[1:], vf[:1]], axis=0)
+        if quant and rotate:
+            amax = jnp.max(jnp.abs(sh), axis=-1, keepdims=True)  # (S, 1)
+            qn = jnp.clip(jnp.round(
+                sh * (jnp.float32(127.0) / jnp.maximum(amax, 1e-30))),
+                -127, 127)
             k_o[0, 0, h] = jnp.where(ge, qn, kf).astype(k_o.dtype)
-            ksc_o[0, 0, h] = jnp.where(ge, nsc, ksc)
-            vsh = jnp.concatenate([vf[1:], vf[:1]], axis=0)
             v_o[0, 0, h] = jnp.where(ge, vsh, vf).astype(v_o.dtype)
-            vsc_o[0, 0, h] = jnp.where(
-                ge, jnp.concatenate([vsc[1:], vsc[:1]], axis=0), vsc)
+            # scale updates in the packed lane layout
+            ksc = ksc_ref[0, 0, h]                   # (SL, 128) f32
+            vsc = vsc_ref[0, 0, h]
+            amax_l = jax.lax.dot_general(
+                G, amax * E, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (SL, 128)
+            ge_l = flat >= vs
+            nsc = jnp.maximum(shift_lane(ksc) * amax_l, 1e-8) \
+                * jnp.float32(1.0 / 127.0)
+            ksc_o[0, 0, h] = jnp.where(ge_l, nsc, ksc)
+            vsc_o[0, 0, h] = jnp.where(ge_l, shift_lane(vsc), vsc)
+        elif quant:
+            # plain quantized shift: values and scales move together,
+            # bit-untouched
+            k_o[0, 0, h] = jnp.where(ge, sh, kf).astype(k_o.dtype)
+            v_o[0, 0, h] = jnp.where(ge, vsh, vf).astype(v_o.dtype)
+            ge_l = flat >= vs
+            ksc = ksc_ref[0, 0, h]
+            vsc = vsc_ref[0, 0, h]
+            ksc_o[0, 0, h] = jnp.where(ge_l, shift_lane(ksc), ksc)
+            vsc_o[0, 0, h] = jnp.where(ge_l, shift_lane(vsc), vsc)
         else:
             k_o[0, 0, h] = jnp.where(ge, sh, kf).astype(k_o.dtype)
-            vsh = jnp.concatenate([vf[1:], vf[:1]], axis=0)
             v_o[0, 0, h] = jnp.where(ge, vsh, vf).astype(v_o.dtype)
 
 
@@ -669,6 +705,8 @@ def fused_kv_compact(
     Returns (k, v[, k_scale, v_scale]) aliased in place."""
     L, B, H, S, D = k.shape
     quant = k_scale is not None
+    assert not quant or S % 128 == 0, "packed scale layout needs S % 128"
+    SL = max(S // 128, 1)
     hb = 1
     for cand in (4, 2):
         if H % cand == 0 and cand * S * D * (2 + 8) * 2 <= 10 * (1 << 20):
@@ -688,7 +726,7 @@ def fused_kv_compact(
     const = pl.BlockSpec((1, D // 2), lambda l, b, h, vp: (0, 0),
                          memory_space=pltpu.VMEM)
     kv5 = s5((1, 1, hb, S, D))
-    sc5 = s5((1, 1, hb, S, 1))
+    sc5 = s5((1, 1, hb, SL, 128))    # packed lane layout (see kernel note)
     in_specs = [const, const, kv5, kv5]
     out_specs = [kv5, kv5]
     out_shape = [jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -699,8 +737,10 @@ def fused_kv_compact(
     if quant:
         in_specs += [sc5, sc5]
         out_specs += [sc5, sc5]
-        out_shape += [jax.ShapeDtypeStruct((L, B, H, S, 1), jnp.float32)] * 2
-        inputs += [k_scale[..., None], v_scale[..., None]]
+        out_shape += [jax.ShapeDtypeStruct((L, B, H, SL, 128),
+                                           jnp.float32)] * 2
+        inputs += [k_scale.reshape(L, B, H, SL, 128),
+                   v_scale.reshape(L, B, H, SL, 128)]
         aliases.update({5: 2, 6: 3})
     res = pl.pallas_call(
         functools.partial(_kv_compact_kernel, quant=quant, rotate=rotate,
@@ -716,5 +756,6 @@ def fused_kv_compact(
         interpret=interpret,
     )(*inputs)
     if quant:
-        return res[0], res[1], res[2][..., 0], res[3][..., 0]
+        return (res[0], res[1], res[2].reshape(L, B, H, S),
+                res[3].reshape(L, B, H, S))
     return res[0], res[1]

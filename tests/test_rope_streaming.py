@@ -466,7 +466,6 @@ def test_fused_kv_compact_matches_xla_rotate(quant):
     """fused_kv_compact (one aliased VMEM pass: shift + R(-theta) + requant
     on shifted K rows) vs the XLA formulation in _compact_one: identical
     bytes on random victim patterns."""
-    from easykv_tpu.cache import quantize_kv
     from easykv_tpu.ops.pallas.sidecar_update import fused_kv_compact
     from easykv_tpu.ops.rope import rope_inv_freq
 
@@ -492,19 +491,23 @@ def test_fused_kv_compact_matches_xla_rotate(quant):
     got = fused_kv_compact(k, v, v_slot, k_scale=ksc, v_scale=vsc,
                            inv_freq=inv_freq, rotate=True, interpret=True)
 
-    # XLA reference (same math as _compact_one's fallback branch)
+    # XLA reference (same scale-free requant as _compact_one's fallback)
     iota = jnp.arange(S, dtype=jnp.int32)
     ge = (iota[None, None, None, :] >= v_slot[..., None])
     k_roll = jnp.roll(k, -1, axis=3).astype(jnp.float32)
-    if quant:
-        k_roll = k_roll * jnp.roll(ksc, -1, axis=3)[..., None]
     d2 = D // 2
     c, s = jnp.cos(inv_freq), jnp.sin(inv_freq)
     x1, x2 = k_roll[..., :d2], k_roll[..., d2:]
     k_rot = jnp.concatenate([x1 * c + x2 * s, x2 * c - x1 * s], axis=-1)
     gem = ge[..., None]
     if quant:
-        knq, nsc = quantize_kv(k_rot)
+        amax = jnp.max(jnp.abs(k_rot), axis=-1)
+        knq = jnp.clip(jnp.round(
+            k_rot * (jnp.float32(127.0)
+                     / jnp.maximum(amax, 1e-30))[..., None]),
+            -127, 127).astype(jnp.int8)
+        nsc = jnp.maximum(jnp.roll(ksc, -1, axis=3) * amax, 1e-8) \
+            * jnp.float32(1.0 / 127.0)
         want_k = jnp.where(gem, knq, k)
         want_ksc = jnp.where(ge, nsc, ksc)
         np.testing.assert_array_equal(np.asarray(got[0]),
