@@ -120,7 +120,9 @@ def fused_decode_step(
     tnq, tno = _pick_tn(khq, Nq), _pick_tn(kho, D)
     tng, tnd = _pick_tn(khq, 2 * F), _pick_tn(khd, D)
     TQ, TO, TG, TD = Nq // tnq, D // tno, 2 * F // tng, D // tnd
-    hb = _pick_hb(Hkv, S, Dh, k.dtype.itemsize)
+    # 1M KV budget: hb=8 at 7B budgeted S (was 4 at the r3 512K budget) —
+    # half the attention phases, double the DMA block (VERDICT r4 #4)
+    hb = _pick_hb(Hkv, S, Dh, k.dtype.itemsize, budget=1 << 20)
     TA = Hkv // hb
     NP = TQ + TA + TO + TG + TD
     oQ, oA, oO, oG, oD = 0, TQ, TQ + TA, TQ + TA + TO, TQ + TA + TO + TG
