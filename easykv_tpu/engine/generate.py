@@ -777,6 +777,10 @@ def _decode_loop(
     # folded and the forward share the predicate, so they cannot disagree)
     fold_evict = llama.decode_evict_folded(st.cfg, cache, B, spec,
                                            st.streaming)
+    # ordered-prerotated streaming: the sidecar kernel also compacts and
+    # fused_kv_compact shifts K/V — evict_cache AND _compact_one fold away
+    fold_stream = llama.decode_stream_folded(st.cfg, cache, B, spec,
+                                             st.streaming, ordered, prerot)
 
     def cond(carry):
         _, _, _, n, done, _, _, _, _, _, _ = carry
@@ -844,7 +848,8 @@ def _decode_loop(
             params, st.cfg, cache, token[:, None], ctx, spec,
             streaming=st.streaming,
             ranks_all=ranks if inc_ranks else None,
-            ordered=ordered, prerotated=prerot, fold_evict=fold_evict,
+            ordered=ordered, prerotated=prerot,
+            fold_evict=fold_evict or fold_stream,
         )
         if inc_ranks:
             # new token's slot gets rank = pre-write valid count (uniform
@@ -854,7 +859,8 @@ def _decode_loop(
                          axis=-1, keepdims=True)           # (L, B, 1, 1)
             ranks = jnp.where(written, nv, ranks)
         pos_mid = cache.pos
-        if spec is not None and spec.policy != "full" and not fold_evict:
+        if (spec is not None and spec.policy != "full"
+                and not (fold_evict or fold_stream)):
             cache = evict_cache(cache, spec, ctx.next_pos, prompt_len,
                                 rand_rank, gate_b)
             if ordered:

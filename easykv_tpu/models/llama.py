@@ -752,6 +752,25 @@ def decode_evict_folded(cfg, cache: KVCache, B: int,
             and flags.sidecar_enabled())
 
 
+def decode_stream_folded(cfg, cache: KVCache, B: int,
+                         spec: Optional[PolicySpec],
+                         streaming: bool, ordered: bool,
+                         prerotated: bool) -> bool:
+    """Ordered-prerotated streaming variant of decode_evict_folded: the
+    sidecar kernel also COMPACTS in-kernel (lane shifts on blocks already
+    in VMEM) and emits the victim slot for fused_kv_compact, so the engine
+    skips evict_cache AND _compact_one. Requires the same single-chip /
+    lane-aligned / PHASE_DECODE-k=1 conditions."""
+    from ..ops.pallas.sidecar_update import evict_supported
+
+    if not (streaming and ordered and prerotated and evict_supported(spec)):
+        return False
+    use_kernel, mesh_info = _decode_kernel_plan(cfg, B)
+    S = cache.pos.shape[-1]
+    return (use_kernel and mesh_info is None and S % 128 == 0
+            and flags.sidecar_enabled())
+
+
 def _decode_forward(
     params: Params,
     cfg: ModelConfig,
@@ -986,13 +1005,18 @@ def _decode_forward(
 
             fold = fold_evict and decode_evict_folded(cfg, cache, B, spec,
                                                       streaming)
+            fold_stream = fold_evict and decode_stream_folded(
+                cfg, cache, B, spec, streaming, ordered, prerotated)
             ekw = {}
-            if fold:
+            if fold or fold_stream:
                 # the step's gated eviction event folds into the same VMEM
-                # pass (engine skips evict_cache — decode_evict_folded)
+                # pass (engine skips evict_cache — decode_evict_folded);
+                # ordered streaming also compacts the sidecars in-kernel
                 ekw = dict(espec=spec, evict_gate=ctx.evict_gate,
                            next_pos=ctx.next_pos, prompt_len=ctx.prompt_len,
                            rand_rank=ctx.rand_rank)
+                if fold_stream:
+                    ekw["compact"] = True
             quant_kv = cache.k.dtype == jnp.int8
             if quant_kv:
                 # quantize once here: the sidecar kernel writes the scale
@@ -1009,13 +1033,29 @@ def _decode_forward(
                 *sc_args, policy=policy, interpret=interp, **ekw,
             )
             pos, score, ssq, counter, ids_all = res[:5]
+            ksc_new, vsc_new = (res[5], res[6]) if quant_kv else (
+                cache.k_scale, cache.v_scale)
             k2, v2 = write_rows(cache.k, cache.v, k_w, v_w,
                                 ids_all[..., 0], interpret=interp)
-            repl = dict(pos=pos, score=score, score_sq=ssq, counter=counter,
-                        k=k2, v=v2)
-            if quant_kv:
-                repl.update(k_scale=res[5], v_scale=res[6])
-            new_cache = cache._replace(**repl)
+            if fold_stream:
+                # K/V (+ scales) shift + R(-theta) pre-rotation — the rows
+                # just written shift too, exactly like the two-phase
+                # evict_cache + _compact_one sequence
+                from ..ops.pallas.sidecar_update import fused_kv_compact
+
+                vslot = res[7 if quant_kv else 5]
+                kvres = fused_kv_compact(
+                    k2, v2, vslot[..., 0],
+                    k_scale=ksc_new if quant_kv else None,
+                    v_scale=vsc_new if quant_kv else None,
+                    inv_freq=inv_freq, rotate=True, interpret=interp,
+                )
+                k2, v2 = kvres[0], kvres[1]
+                if quant_kv:
+                    ksc_new, vsc_new = kvres[2], kvres[3]
+            new_cache = cache._replace(
+                pos=pos, score=score, score_sq=ssq, counter=counter,
+                k=k2, v=v2, k_scale=ksc_new, v_scale=vsc_new)
     else:
         new_cache = _decode_write(cache, ids_all, kn, vn, probs, p_new, ctx,
                                   spec)

@@ -132,9 +132,10 @@ def fused_decode_step_batch(
     hb = _pick_hb(Hkv, S, Dh, B * k.dtype.itemsize, budget=1 << 20)
     NT = 1
     if rep == 1:
-        # Bp=16 also tightens the K/V tile budget: the first b16 compile
-        # came in 40K over the 16M scoped-vmem limit at NT=2 x 768K tiles
-        nt_budget = 1 << 20 if Bp <= 8 else 1 << 19
+        # Bp=16 also tightens the K/V tile budget: b16 compiles came in 40K
+        # (NT=2 x 768K tiles) then 8K (NT=3 x 512K) over the 16M scoped-vmem
+        # limit — 256K tiles clear it with margin
+        nt_budget = 1 << 20 if Bp <= 8 else 1 << 18
         nlanes = S // 128
         for cand in range(1, nlanes + 1):
             if nlanes % cand:

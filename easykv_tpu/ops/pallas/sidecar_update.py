@@ -146,13 +146,16 @@ def _write_kernel(iparams_ref, fparams_ref,
                   pnew_ref, *rest,
                   policy: Optional[str],
                   espec: Optional[PolicySpec] = None,
-                  with_scales: bool = False):
+                  with_scales: bool = False,
+                  compact: bool = False):
+    outs = list(rest)
+    vslot_out = outs.pop() if compact else None
     if with_scales:
         (ksn_ref, vsn_ref, ksc_ref, vsc_ref,
          pos_out, score_out, ssq_out, counter_out, slot_out,
-         ksc_out, vsc_out) = rest
+         ksc_out, vsc_out) = outs
     else:
-        pos_out, score_out, ssq_out, counter_out, slot_out = rest
+        pos_out, score_out, ssq_out, counter_out, slot_out = outs
     b = pl.program_id(1)
     pos = pos_ref[0, 0]          # (H, S) int32
     score = score_ref[0, 0]      # (H, S) f32
@@ -225,6 +228,9 @@ def _write_kernel(iparams_ref, fparams_ref,
         e_next_pos = iparams_ref[b, 4]
         e_prompt_len = iparams_ref[b, 5]
         e_rand_rank = iparams_ref[b, 6]
+        if compact:
+            vslot_out[0, 0] = jnp.broadcast_to(jnp.int32(S),
+                                               vslot_out.shape[2:])
 
         @pl.when(g_evt)
         def _evict():
@@ -236,11 +242,31 @@ def _write_kernel(iparams_ref, fparams_ref,
                 protect_prompt=bool(espec.protect_prompt),
             )
             ev = iota == victim
-            pos_out[0, 0] = jnp.where(ev, -1, pos)
-            counter_out[0, 0] = cb
+            if not compact:
+                pos_out[0, 0] = jnp.where(ev, -1, pos)
+                counter_out[0, 0] = cb
+                return
+            # ordered-streaming fold (engine/generate._compact_one's
+            # sidecar half): slots above each head's victim shift down by
+            # one in the SAME pass; the victim slot goes to the K/V
+            # compact kernel (vslot_out), which shifts + pre-rotates the
+            # big arrays. k=1 per head under the gate, so every head row
+            # fires.
+            ge = iota >= victim
+
+            def shl(x):
+                return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+
+            pos_c = jnp.where(ge, shl(pos), pos)
+            pos_out[0, 0] = jnp.where(iota == S - 1, -1, pos_c)
+            score_out[0, 0] = jnp.where(ge, shl(score), score)
+            ssq_out[0, 0] = jnp.where(ge, shl(ssq), ssq)
+            counter_out[0, 0] = jnp.where(ge, shl(cb), cb)
+            vslot_out[0, 0] = jnp.broadcast_to(victim, vslot_out.shape[2:])
 
 
-@functools.partial(jax.jit, static_argnames=("policy", "espec", "interpret"))
+@functools.partial(jax.jit, static_argnames=("policy", "espec", "compact",
+                                             "interpret"))
 def fused_write_update(
     pos: jax.Array,        # (L, B, H, S) int32
     score: jax.Array,      # (L, B, H, S) f32
@@ -262,13 +288,20 @@ def fused_write_update(
     v_sc_new: Optional[jax.Array] = None,     # dequant scales (int8 KV)
     k_scale: Optional[jax.Array] = None,      # (L, B, H, S) f32
     v_scale: Optional[jax.Array] = None,
+    compact: bool = False,   # ordered-streaming: sidecars compact in-kernel
     interpret: bool = False,
 ):
     """Returns (pos, score, score_sq, counter, write_slot (L, B, H, 1)
-    [, k_scale, v_scale when k_sc_new is given]).
+    [, k_scale, v_scale when k_sc_new is given]
+    [, victim_slot (L, B, H, 1) when compact — S = no eviction]).
     With espec, pos/counter are POST-eviction (the engine then skips its
-    separate evict_cache dispatch — see _write_kernel's folded-evict note)."""
+    separate evict_cache dispatch — see _write_kernel's folded-evict note);
+    with compact, they are also POST-compaction, write_slot stays the
+    PRE-compact slot (the engine writes K/V rows there BEFORE handing
+    victim_slot to fused_kv_compact, which then shifts those rows too —
+    same order as the two-phase path)."""
     L, B, H, S = pos.shape
+    assert not compact or espec is not None
     assert S % 128 == 0, "ring buffer must be lane-aligned (engine rounds up)"
     with_scales = k_sc_new is not None
     icols = [q_pos, token_valid.astype(jnp.int32),
@@ -306,9 +339,12 @@ def fused_write_update(
         out_shape += [jax.ShapeDtypeStruct((L, B, H, S), jnp.float32)] * 2
         aliases.update({10: 5, 11: 6})
         inputs += [k_sc_new, v_sc_new, k_scale, v_scale]
+    if compact:
+        out_specs += [s1]
+        out_shape += [jax.ShapeDtypeStruct((L, B, H, 1), jnp.int32)]
     return pl.pallas_call(
         functools.partial(_write_kernel, policy=policy, espec=espec,
-                          with_scales=with_scales),
+                          with_scales=with_scales, compact=compact),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(L, B, H // hb),
