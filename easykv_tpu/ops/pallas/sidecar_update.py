@@ -646,6 +646,8 @@ def _kv_compact_kernel(vslot_ref, cos_ref, sin_ref, k_ref, v_ref, *rest,
     moved ~1.5 GB/step of padding and showed up as a 0.672 streaming
     ratio); the one sublane->lane handoff (the rowmax factor) is a
     one-hot (S/128, S) @ (S, 128) MXU dot."""
+    amax_s = rest[-1]                                # (S, 128) f32 scratch
+    rest = rest[:-1]
     if quant:
         ksc_ref, vsc_ref = rest[0], rest[1]
         outs = rest[2:]
@@ -681,6 +683,78 @@ def _kv_compact_kernel(vslot_ref, cos_ref, sin_ref, k_ref, v_ref, *rest,
     for h in range(hb):
         vs = vslot_ref[(l * B + b) * H + hc * hb + h]
         ge = iota >= vs                              # (S, 1)
+        if quant and rotate and S % 128 == 0 and S >= 256:
+            # Tile-skipped pipeline: only slots >= the victim shift, and
+            # with protect_prompt the victim sits above the prompt — at the
+            # bench shapes ~2/3 of the cache never moves. Tiles entirely
+            # below the victim are a raw int8 copy (the aliased OUT block
+            # must still be fully written); tiles at/above it pay the f32
+            # cast + rotate + requant. Cuts the kernel's full-cache VPU
+            # work (~10 ops/elt over 400 MB of values) to the moving tail.
+            for tl in range(S // 128):
+                lo, hi = tl * 128, tl * 128 + 128
+
+                @pl.when(vs < hi)
+                def _move(lo=lo, hi=hi, h=h, vs=vs):
+                    if hi < S:
+                        src = k_ref[0, 0, h, pl.ds(lo + 1, 128)]
+                    else:
+                        src = jnp.concatenate(
+                            [k_ref[0, 0, h, pl.ds(lo + 1, 127)],
+                             k_ref[0, 0, h, pl.ds(0, 1)]], axis=0)
+                    shf = src.astype(jnp.float32)
+                    x1, x2 = shf[:, :d2], shf[:, d2:]
+                    shf = jnp.concatenate(
+                        [x1 * c + x2 * s_, x2 * c - x1 * s_], axis=-1)
+                    amax_t = jnp.max(jnp.abs(shf), axis=-1, keepdims=True)
+                    amax_s[pl.ds(lo, 128), 0:1] = amax_t
+                    qn = jnp.clip(jnp.round(
+                        shf * (jnp.float32(127.0)
+                               / jnp.maximum(amax_t, 1e-30))), -127, 127)
+                    cur = k_ref[0, 0, h, pl.ds(lo, 128)].astype(jnp.float32)
+                    ge_t = iota[lo:hi] >= vs
+                    k_o[0, 0, h, pl.ds(lo, 128)] = jnp.where(
+                        ge_t, qn, cur).astype(k_o.dtype)
+                    vcur = v_ref[0, 0, h, pl.ds(lo, 128)].astype(jnp.float32)
+                    if hi < S:
+                        vsrc = v_ref[0, 0, h, pl.ds(lo + 1, 128)]
+                    else:
+                        vsrc = jnp.concatenate(
+                            [v_ref[0, 0, h, pl.ds(lo + 1, 127)],
+                             v_ref[0, 0, h, pl.ds(0, 1)]], axis=0)
+                    v_o[0, 0, h, pl.ds(lo, 128)] = jnp.where(
+                        ge_t, vsrc.astype(jnp.float32), vcur).astype(
+                            v_o.dtype)
+                    # scale tile: lane layout row tl <-> slot rows
+                    # [lo, hi); the rowmax factor crosses layouts via a
+                    # one-hot (1, 128) pick... handled below full-row
+                    #  (scales are tiny; no tiling needed)
+
+                @pl.when(vs >= hi)
+                def _copy(lo=lo, h=h):
+                    k_o[0, 0, h, pl.ds(lo, 128)] = k_ref[0, 0, h,
+                                                         pl.ds(lo, 128)]
+                    v_o[0, 0, h, pl.ds(lo, 128)] = v_ref[0, 0, h,
+                                                         pl.ds(lo, 128)]
+                    # finite filler: the one-hot repack dot multiplies
+                    # every amax element by 0/1 — NaN garbage would leak
+                    amax_s[pl.ds(lo, 128), 0:1] = jnp.zeros(
+                        (128, 1), jnp.float32)
+            # scale rows: the rowmax column crosses to the packed lane
+            # layout via the one-hot dot; entries below the victim are
+            # masked by ge_l (each output lane maps to exactly one row)
+            ksc = ksc_ref[0, 0, h]                   # (SL, 128) f32
+            vsc = vsc_ref[0, 0, h]
+            amax_l = jax.lax.dot_general(
+                G, amax_s[:, 0:1] * E,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (SL, 128)
+            ge_l = flat >= vs
+            nsc = jnp.maximum(shift_lane(ksc) * amax_l, 1e-8) \
+                * jnp.float32(1.0 / 127.0)
+            ksc_o[0, 0, h] = jnp.where(ge_l, nsc, ksc)
+            vsc_o[0, 0, h] = jnp.where(ge_l, shift_lane(vsc), vsc)
+            continue
         kf = k_ref[0, 0, h].astype(jnp.float32)      # (S, D) raw values
         vf = v_ref[0, 0, h].astype(jnp.float32)
         sh = jnp.concatenate([kf[1:], kf[:1]], axis=0)
@@ -786,6 +860,7 @@ def fused_kv_compact(
             grid=(L, B, H // hb),
             in_specs=in_specs,
             out_specs=out_specs,
+            scratch_shapes=[pltpu.VMEM((S, 128), jnp.float32)],  # amax_s
         ),
         out_shape=out_shape,
         input_output_aliases=aliases,

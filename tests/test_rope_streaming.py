@@ -461,15 +461,17 @@ def test_prerotated_unit_semantics():
                                atol=1e-6)
 
 
+@pytest.mark.parametrize("S", [128, 256])
 @pytest.mark.parametrize("quant", [False, True])
-def test_fused_kv_compact_matches_xla_rotate(quant):
+def test_fused_kv_compact_matches_xla_rotate(quant, S):
     """fused_kv_compact (one aliased VMEM pass: shift + R(-theta) + requant
     on shifted K rows) vs the XLA formulation in _compact_one: identical
     bytes on random victim patterns."""
     from easykv_tpu.ops.pallas.sidecar_update import fused_kv_compact
     from easykv_tpu.ops.rope import rope_inv_freq
 
-    L, B, H, S, D = 2, 2, 4, 128, 32
+    # S=256 exercises the tile-skipped quant+rotate pipeline
+    L, B, H, D = 2, 2, 4, 32
     inv_freq = rope_inv_freq(D, 10000.0)
     rng = np.random.default_rng(11)
     if quant:
