@@ -105,14 +105,17 @@ def main():
             args = (st, model.params, ids, prompt_len, jnp.float32(1.0),
                     jnp.float32(0.95), jax.random.PRNGKey(0))
             res = _run_decoding(*args)
-            jax.block_until_ready(res.out_ids)
+            np.asarray(res.out_ids)
             # timed call uses a DIFFERENT seed: a bit-identical repeat of
             # the warm-up call can return ~instantly (the B=1 artifact in
-            # the r4 tables), a fresh seed forces a real execution
+            # the r4 tables), a fresh seed forces a real execution. Forced
+            # np.asarray readback: block_until_ready intermittently
+            # returns before execution finishes through the tunnel
+            # (CLAUDE.md; the r5 B=16 first-light printed 18M tok/s).
             args = args[:-1] + (jax.random.PRNGKey(1),)
             t0 = time.time()
             res = _run_decoding(*args)
-            jax.block_until_ready(res.out_ids)
+            np.asarray(res.out_ids)
             dt = time.time() - t0
             total = int(np.asarray(res.n_tokens).sum())
             log(f"B={B:3d}{' ' + f if f else ''}: "
