@@ -1035,8 +1035,17 @@ def _decode_forward(
             pos, score, ssq, counter, ids_all = res[:5]
             ksc_new, vsc_new = (res[5], res[6]) if quant_kv else (
                 cache.k_scale, cache.v_scale)
-            k2, v2 = write_rows(cache.k, cache.v, k_w, v_w,
-                                ids_all[..., 0], interpret=interp)
+            if Dh % 128 == 0:
+                k2, v2 = write_rows(cache.k, cache.v, k_w, v_w,
+                                    ids_all[..., 0], interpret=interp)
+            else:
+                # sub-128-lane rows cannot DMA (Mosaic lane slicing);
+                # Dh=64-class models (TinyLlama) keep the XLA scatter
+                l_ix = jnp.arange(L)[:, None, None, None]
+                b_ix = jnp.arange(B)[None, :, None, None]
+                h_ix = jnp.arange(Hkv)[None, None, :, None]
+                k2 = cache.k.at[l_ix, b_ix, h_ix, ids_all].set(k_w)
+                v2 = cache.v.at[l_ix, b_ix, h_ix, ids_all].set(v_w)
             if fold_stream:
                 # K/V (+ scales) shift + R(-theta) pre-rotation — the rows
                 # just written shift too, exactly like the two-phase

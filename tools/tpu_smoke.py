@@ -62,6 +62,11 @@ def _abstract_params(cfg, fmt: str, fused: bool):
     import bench
 
     def build():
+        if fmt == "bf16":
+            from easykv_tpu.models import llama
+
+            return llama.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jax.numpy.bfloat16)
         p = (bench.fake_int4_params(cfg) if fmt == "int4"
              else bench.fake_int8_params(cfg))
         if fused:
@@ -108,6 +113,10 @@ def scenarios():
         # attention (NT=2 at S=768) + halved weight tiles
         ("int4_decode_b16", "int4", True, True, "decoding", dec, {}, 16,
          512, 1, "llama7b"),
+        # Dh=64 class (TinyLlama): bf16 KV decode — caught the r5
+        # write_rows sub-128-lane DMA regression the 7B scenarios missed
+        ("tiny_decode_bf16", "bf16", False, False, "decoding", dec, {}, 1,
+         512, 1, "tiny1b"),
         # mega off: per-op arith GEMV kernel (w4a16_gemv_arith) decode
         ("int4_decode_nomega", "int4", True, True, "decoding", dec,
          {"EASYKV_TPU_MEGA": "0"}, 1, 512, 1, "llama7b"),
@@ -147,6 +156,13 @@ def make_cfg(cfg_name):
             num_hidden_layers=32, num_attention_heads=32,
             num_key_value_heads=8, max_position_embeddings=8192,
             sliding_window=4096,
+        )
+    if cfg_name == "tiny1b":
+        # TinyLlama-1.1B shapes: head_dim 64 — the sub-128-lane class
+        return ModelConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=5632,
+            num_hidden_layers=22, num_attention_heads=32,
+            num_key_value_heads=4, max_position_embeddings=2048,
         )
     return ModelConfig(
         vocab_size=32000, hidden_size=4096, intermediate_size=11008,
